@@ -1,0 +1,112 @@
+"""Benchmark: end-to-end train-step throughput on the real chip.
+
+Measures samples/s through the full differentiable render path (occupancy
+grid march -> sigma-culling -> grad-tracked composite -> backward + adam),
+the workload the reference's headline "NGP Lego 20k steps / 287 s" number
+is made of. Baseline: the reference targets 2^18 samples/batch over 20k
+steps in 287 s on a TITAN RTX => ~1.83e7 samples/s; ``vs_baseline`` is our
+measured samples/s over that.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import os
+
+# persistent XLA compilation cache: repeated runs skip the (slow) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REFERENCE_SAMPLES_PER_S = (1 << 18) * 20_000 / 287.0  # ~1.83e7
+
+
+def main():
+    from nerfacc_tpu import create_grid
+    from nerfacc_tpu.models import VanillaNeRFRadianceField
+    from nerfacc_tpu.utils import render_rays
+
+    n_rays = 4096
+    samples_budget = 1 << 18
+    aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
+
+    rng = np.random.RandomState(0)
+    field = VanillaNeRFRadianceField()
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
+    )
+    grid = create_grid(aabb, resolution=128, occupied=True)
+    # half-occupied grid: realistic culling ratio
+    binary = np.zeros((128, 128, 128), bool)
+    binary[32:96, 32:96, 32:96] = True
+    grid = grid.replace(binary=jnp.asarray(binary))
+
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+    kwargs = dict(
+        scene_aabb=aabb,
+        render_step_size=5e-3,
+        max_samples_per_ray=1024,
+        samples_budget=samples_budget,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, rays_o, rays_d, pixels):
+        def loss_fn(p):
+            colors, _, _, n = render_rays(
+                p, field, rays_o, rays_d, grid=grid,
+                render_bkgd=jnp.ones(3), **kwargs,
+            )
+            return jnp.mean((colors - pixels) ** 2), n
+
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        o = jnp.asarray(r.rand(n_rays, 3) * 2 - 1, jnp.float32)
+        d = jnp.asarray(r.randn(n_rays, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        px = jnp.asarray(r.rand(n_rays, 3), jnp.float32)
+        return o, d, px
+
+    # warmup (compile)
+    o, d, px = batch(0)
+    params, opt_state, loss, n = train_step(params, opt_state, o, d, px)
+    jax.block_until_ready(loss)
+
+    iters = 20
+    n_total = 0
+    t0 = time.perf_counter()
+    for i in range(iters):
+        o, d, px = batch(i + 1)
+        params, opt_state, loss, n = train_step(params, opt_state, o, d, px)
+        n_total += int(n)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = n_total / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_s_per_chip",
+                "value": round(samples_per_s, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_s / REFERENCE_SAMPLES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

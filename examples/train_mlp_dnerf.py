@@ -1,0 +1,163 @@
+"""Train a D-NeRF (time-conditioned deformation) field (TPU-native).
+
+Re-creation of reference ``examples/train_mlp_dnerf.py``: warp MLP + time
+PE through the packed rendering path; shared (time-max) occupancy grid via
+random-timestamp density queries; ``alpha_thre = 0.01 after step 1000``.
+
+Requires the D-NeRF dataset on disk (no procedural time-varying scene yet):
+    python examples/train_mlp_dnerf.py --scene lego --data_root /path/to/dnerf
+"""
+
+from __future__ import annotations
+
+import os
+
+# persistent XLA compilation cache: repeated runs skip the (slow) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfacc_tpu import create_grid, update_grid
+from nerfacc_tpu.models import DNeRFRadianceField
+from nerfacc_tpu.utils import render_image, render_rays
+
+
+def huber(x, y, delta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=str, default="lego")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--max_steps", type=int, default=30000)
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--grid_resolution", type=int, default=128)
+    p.add_argument("--render_step_size", type=float, default=5e-3)
+    p.add_argument("--max_samples_per_ray", type=int, default=1024)
+    p.add_argument("--samples_budget", type=int, default=1 << 17)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--test_chunk_size", type=int, default=4096)
+    p.add_argument("--eval_views", type=int, default=2)
+    args = p.parse_args()
+
+    from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
+
+    scene = SubjectLoader(
+        subject_id=args.scene, root_fp=args.data_root, split="train"
+    )
+    scene_aabb = scene.aabb
+
+    field = DNeRFRadianceField()
+    key = jax.random.PRNGKey(42)
+    key, k_init = jax.random.split(key)
+    params = field.init(
+        k_init, jnp.zeros((8, 3)), jnp.zeros((8, 1)), jnp.zeros((8, 3))
+    )
+
+    grid = create_grid(scene_aabb, resolution=args.grid_resolution)
+
+    ms = args.max_steps
+    sched = optax.piecewise_constant_schedule(
+        args.lr, {ms // 2: 0.33, ms * 3 // 4: 0.33, ms * 9 // 10: 0.33}
+    )
+    optimizer = optax.adam(sched)
+    opt_state = optimizer.init(params)
+
+    render_kwargs = dict(
+        scene_aabb=scene_aabb,
+        render_step_size=args.render_step_size,
+        cone_angle=0.0,
+        max_samples_per_ray=args.max_samples_per_ray,
+        samples_budget=args.samples_budget,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("alpha_thre",))
+    def train_step(
+        params, opt_state, grid, rays_o, rays_d, pixels, timestamps, bkgd,
+        key, alpha_thre: float,
+    ):
+        def loss_fn(p):
+            colors, opacities, _, n = render_rays(
+                p, field, rays_o, rays_d, grid=grid, render_bkgd=bkgd,
+                stratified=True, key=key, timestamps=timestamps,
+                alpha_thre=alpha_thre, **render_kwargs,
+            )
+            alive = (opacities[:, 0] > 0).astype(jnp.float32)
+            per_ray = huber(colors, pixels).mean(-1)
+            loss = (per_ray * alive).sum() / jnp.maximum(alive.sum(), 1.0)
+            return loss, n
+
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n
+
+    timestamps_all = scene.timestamps
+
+    @functools.partial(jax.jit, static_argnames=("warmup",))
+    def grid_update(params, grid, key, warmup: bool):
+        k_sel, k_t = jax.random.split(key)
+
+        def occ_eval_fn(x):
+            # shared (time-sampled) occupancy, reference dnerf.rst:15-20
+            return field.apply(
+                params, x, timestamps_all[:, None], args.render_step_size,
+                k_t, method=field.query_opacity,
+            )
+
+        return update_grid(
+            grid, k_sel, step=0 if warmup else 10**9,
+            occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
+        )
+
+    t_start = time.perf_counter()
+    for step in range(args.max_steps):
+        key, k_grid, k_render = jax.random.split(key, 3)
+        if step % 16 == 0:
+            grid = grid_update(params, grid, k_grid, step < 256)
+        rays, pixels, timestamps = scene.sample_batch(args.num_rays)
+        alpha_thre = 0.01 if step > 1000 else 0.0
+        params, opt_state, loss, n = train_step(
+            params, opt_state, grid, rays.origins, rays.viewdirs,
+            pixels, timestamps, scene.bkgd, k_render, alpha_thre,
+        )
+        if step % 1000 == 0 or step == args.max_steps - 1:
+            el = time.perf_counter() - t_start
+            print(
+                f"step={step} loss={float(loss):.5f} "
+                f"n_samples={int(n)} elapsed={el:.1f}s"
+            )
+
+    psnrs = []
+    for i in range(min(args.eval_views, scene.test_poses.shape[0])):
+        rays = scene.rays_for_view(scene.test_poses[i])
+        t = jnp.full((rays.origins.shape[0], 1), scene.timestamps[i])
+        colors, _, _ = render_image(
+            params, field, rays.origins, rays.viewdirs,
+            grid=grid, render_bkgd=jnp.ones(3), timestamps=t,
+            test_chunk_size=args.test_chunk_size, alpha_thre=0.01,
+            **render_kwargs,
+        )
+        gt = scene.test_images[i].reshape(-1, 3)
+        mse = float(jnp.mean((colors - gt) ** 2))
+        psnrs.append(-10.0 * np.log10(mse))
+    print(f"PSNR: {np.mean(psnrs):.2f}")
+    print(f"train_time_s: {time.perf_counter() - t_start:.1f}")
+
+
+if __name__ == "__main__":
+    main()

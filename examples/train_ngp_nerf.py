@@ -1,0 +1,178 @@
+"""Train an Instant-NGP radiance field (TPU-native).
+
+Re-creation of reference ``examples/train_ngp_nerf.py``: hash-grid field,
+occupancy grid with sigma-culling (alpha_thre/early_stop_eps), bounded and
+unbounded (--unbounded: sphere contraction, cone-angle step growth, per-ray
+near/far from AABB intersection) configurations, Adam(1e-2, eps=1e-15).
+
+    python examples/train_ngp_nerf.py --scene procedural --max_steps 2000
+"""
+
+from __future__ import annotations
+
+import os
+
+# persistent XLA compilation cache: repeated runs skip the (slow) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import argparse
+import functools
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfacc_tpu import ContractionType, create_grid, update_grid
+from nerfacc_tpu.datasets import ProceduralScene
+from nerfacc_tpu.models import NGPRadianceField
+from nerfacc_tpu.utils import render_image, render_rays
+
+
+def huber(x, y, delta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", type=str, default="procedural")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--unbounded", action="store_true")
+    p.add_argument("--max_steps", type=int, default=20000)
+    p.add_argument("--num_rays", type=int, default=8192)
+    p.add_argument("--grid_resolution", type=int, default=128)
+    p.add_argument("--max_samples_per_ray", type=int, default=1024)
+    p.add_argument("--samples_budget", type=int, default=1 << 18)
+    p.add_argument("--visible_samples_budget", type=int, default=1 << 16)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--test_chunk_size", type=int, default=8192)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--eval_views", type=int, default=2)
+    p.add_argument("--cone_angle", type=float, default=0.0)
+    args = p.parse_args()
+
+    if args.scene == "procedural":
+        scene = ProceduralScene(width=args.image_size, height=args.image_size)
+    else:
+        from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
+
+        scene = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="train"
+        )
+    aabb = tuple(float(v) for v in np.asarray(scene.aabb))
+    render_bkgd = scene.bkgd
+
+    if args.unbounded:
+        # reference train_ngp_nerf.py:87-94: unbounded config
+        contraction = ContractionType.UN_BOUNDED_SPHERE
+        near_plane, far_plane = 0.2, 1e4
+        render_step_size = 1e-2
+        alpha_thre = 1e-2
+        cone_angle = args.cone_angle or 0.004
+        grid_res = 256
+        scene_aabb = None
+    else:
+        # bounded: step = diag * sqrt(3) / 1024 (train_ngp_nerf.py:149-153)
+        contraction = ContractionType.AABB
+        near_plane, far_plane = None, None
+        diag = math.dist(aabb[:3], aabb[3:])
+        render_step_size = diag * math.sqrt(3) / 1024
+        alpha_thre = 0.0
+        cone_angle = args.cone_angle
+        grid_res = args.grid_resolution
+        scene_aabb = jnp.asarray(aabb)
+
+    field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
+    key = jax.random.PRNGKey(42)
+    key, k_init = jax.random.split(key)
+    params = field.init(k_init, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+
+    grid = create_grid(aabb, resolution=grid_res, contraction_type=contraction)
+
+    optimizer = optax.adam(args.lr, eps=1e-15)
+    opt_state = optimizer.init(params)
+
+    render_kwargs = dict(
+        scene_aabb=scene_aabb,
+        near_plane=near_plane,
+        far_plane=far_plane,
+        render_step_size=render_step_size,
+        cone_angle=cone_angle,
+        alpha_thre=alpha_thre,
+        max_samples_per_ray=args.max_samples_per_ray,
+        samples_budget=args.samples_budget,
+        visible_samples_budget=args.visible_samples_budget,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key):
+        def loss_fn(p):
+            colors, opacities, _, n = render_rays(
+                p, field, rays_o, rays_d, grid=grid,
+                render_bkgd=bkgd, stratified=True, key=key, **render_kwargs,
+            )
+            alive = (opacities[:, 0] > 0).astype(jnp.float32)
+            per_ray = huber(colors, pixels).mean(-1)
+            loss = (per_ray * alive).sum() / jnp.maximum(alive.sum(), 1.0)
+            return loss, n
+
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n
+
+    @functools.partial(jax.jit, static_argnames=("warmup",))
+    def grid_update(params, grid, key, warmup: bool):
+        def occ_eval_fn(x):
+            return field.apply(
+                params, x, render_step_size, method=field.query_opacity
+            )
+        return update_grid(
+            grid, key, step=0 if warmup else 10**9,
+            occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
+        )
+
+    t_start = time.perf_counter()
+    for step in range(args.max_steps):
+        key, k_grid, k_render = jax.random.split(key, 3)
+        if step % 16 == 0:
+            grid = grid_update(params, grid, k_grid, step < 256)
+        rays, pixels = scene.sample_batch(args.num_rays)
+        params, opt_state, loss, n = train_step(
+            params, opt_state, grid,
+            rays.origins, rays.viewdirs, pixels, scene.bkgd, k_render,
+        )
+        if step % 1000 == 0 or step == args.max_steps - 1:
+            el = time.perf_counter() - t_start
+            print(
+                f"step={step} loss={float(loss):.5f} "
+                f"n_samples={int(n)} elapsed={el:.1f}s"
+            )
+
+    psnrs = []
+    for i in range(min(args.eval_views, scene.test_poses.shape[0])):
+        rays = scene.rays_for_view(scene.test_poses[i])
+        colors, _, _ = render_image(
+            params, field, rays.origins, rays.viewdirs,
+            grid=grid, render_bkgd=jnp.ones(3),
+            test_chunk_size=args.test_chunk_size, **render_kwargs,
+        )
+        gt = scene.test_images[i].reshape(-1, 3)
+        mse = float(jnp.mean((colors - gt) ** 2))
+        psnrs.append(-10.0 * np.log10(mse))
+    train_time = time.perf_counter() - t_start
+    print(f"PSNR: {np.mean(psnrs):.2f} (views: {[f'{x:.2f}' for x in psnrs]})")
+    print(f"train_time_s: {train_time:.1f}")
+    return np.mean(psnrs)
+
+
+if __name__ == "__main__":
+    main()

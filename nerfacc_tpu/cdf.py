@@ -1,0 +1,123 @@
+"""CDF importance resampling (TPU-native).
+
+Redesign of the reference's per-ray two-pointer merge kernel
+(``cuda/csrc/cdf.cu:7-77``) as a vectorized searchsorted over a *global*
+monotone CDF: each ray's in-segment inclusive CDF (in (0, 1]) is offset by
+its ray index, making one flat sorted array; the per-ray uniform targets are
+offset the same way, and a single ``searchsorted`` resolves every query at
+once. Semantics (weight padding ``max(1e-5 - sum w, 0)`` spread uniformly,
+bin targets ``u_j = 1/(2 * num_bins) + j * (1 - 1/num_bins)/steps``) match
+the reference exactly; rays with zero samples produce zero resamples
+(``cdf.cu:36-47,177``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .pack import unpack_info
+from .scan import exclusive_segment_cumsum, segment_sum
+from .vol_rendering import _flatten
+
+
+class ResampledRays(NamedTuple):
+    """Fixed-capacity resampling output: ray r owns slots
+    ``[r * n_samples, (r+1) * n_samples)``."""
+
+    packed_info: jnp.ndarray  # (n_rays, 2): [r * n, n or 0]
+    t_starts: jnp.ndarray  # (n_rays * n, 1)
+    t_ends: jnp.ndarray  # (n_rays * n, 1)
+    masks: jnp.ndarray  # (n_rays * n,) bool
+    ray_indices: jnp.ndarray  # (n_rays * n,) int32
+
+
+def ray_resampling(
+    packed_info: Optional[jnp.ndarray],
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    *,
+    ray_indices: Optional[jnp.ndarray] = None,
+    n_rays: Optional[int] = None,
+    masks: Optional[jnp.ndarray] = None,
+) -> ResampledRays:
+    """Resample ``n_samples`` intervals per ray uniformly in the weight CDF
+    (reference ``cdf.py:12-46`` / ``cdf.cu``).
+
+    Args:
+        packed_info: (n_rays, 2), or None with ``ray_indices`` + ``n_rays``.
+        t_starts / t_ends: (N, 1) packed input intervals.
+        weights: (N,) per-sample rendering weights (non-negative).
+        n_samples: static resample count per ray.
+        masks: optional validity for fixed-capacity inputs.
+
+    Returns:
+        :class:`ResampledRays`; rays with zero input samples are masked out.
+    """
+    w, _ = _flatten(weights)
+    ts, _ = _flatten(t_starts)
+    te, _ = _flatten(t_ends)
+    N = w.shape[0]
+    if ray_indices is None:
+        assert packed_info is not None
+        ray_indices = unpack_info(packed_info, N)
+        n_rays = packed_info.shape[0]
+    seg = ray_indices.astype(jnp.int32)
+    assert n_rays is not None, "n_rays must be static"
+
+    if masks is not None:
+        m, _ = _flatten(masks)
+    else:
+        m = jnp.ones((N,), dtype=bool)
+    w = jnp.where(m, jnp.maximum(w, 0.0), 0.0)
+
+    counts = segment_sum(m.astype(jnp.int32), seg, n_rays)  # (n_rays,)
+    w_sum = segment_sum(w, seg, n_rays)
+    padding = jnp.maximum(1e-5 - w_sum, 0.0)
+    padding_step = jnp.where(counts > 0, padding / jnp.maximum(counts, 1), 0.0)
+    w_pad = jnp.where(m, w + padding_step[seg], 0.0)
+    denom = jnp.maximum(w_sum + padding, 1e-20)
+    w_norm = w_pad / denom[seg]
+
+    # global monotone CDF: ray r occupies (r, r+1]
+    cdf_incl = exclusive_segment_cumsum(w_norm, seg, n_rays) + w_norm
+    g = jnp.where(m, seg.astype(jnp.float32) + cdf_incl, jnp.inf)
+
+    # per-ray bin-boundary targets (cdf.cu:42-47)
+    num_bins = n_samples + 1
+    cdf_step = (1.0 - 1.0 / num_bins) / n_samples
+    u = 1.0 / (2 * num_bins) + jnp.arange(num_bins, dtype=jnp.float32) * cdf_step
+    rid = jnp.arange(n_rays, dtype=jnp.float32)[:, None]
+    qg = (rid + u[None, :]).reshape(-1)  # (n_rays * num_bins,)
+
+    idx = jnp.searchsorted(g, qg, side="right")
+    # clamp each query into its own ray's segment
+    starts_of = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    qray = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), num_bins)
+    seg_lo = starts_of[qray]
+    seg_hi = seg_lo + jnp.maximum(counts[qray] - 1, 0)
+    idx = jnp.clip(idx, seg_lo, seg_hi)
+
+    cdf_next = cdf_incl[idx]
+    first = idx == seg_lo
+    cdf_prev = jnp.where(first, 0.0, cdf_incl[jnp.maximum(idx - 1, 0)])
+    scaling = (te[idx] - ts[idx]) / jnp.maximum(cdf_next - cdf_prev, 1e-20)
+    u_flat = jnp.broadcast_to(u[None, :], (n_rays, num_bins)).reshape(-1)
+    t = (u_flat - cdf_prev) * scaling + ts[idx]  # (n_rays * num_bins,)
+
+    bounds = t.reshape(n_rays, num_bins)
+    alive = counts > 0
+    out_starts = jnp.where(alive[:, None], bounds[:, :-1], 0.0).reshape(-1, 1)
+    out_ends = jnp.where(alive[:, None], bounds[:, 1:], 0.0).reshape(-1, 1)
+    out_masks = jnp.broadcast_to(alive[:, None], (n_rays, n_samples)).reshape(-1)
+    out_ray_indices = jnp.repeat(
+        jnp.arange(n_rays, dtype=jnp.int32), n_samples
+    )
+    out_counts = jnp.where(alive, n_samples, 0).astype(jnp.int32)
+    out_info = jnp.stack(
+        [jnp.arange(n_rays, dtype=jnp.int32) * n_samples, out_counts], axis=-1
+    )
+    return ResampledRays(out_info, out_starts, out_ends, out_masks, out_ray_indices)

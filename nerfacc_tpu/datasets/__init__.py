@@ -1,0 +1,4 @@
+from .rays import Rays, generate_rays, namedtuple_map
+from .procedural import ProceduralScene
+
+__all__ = ["Rays", "generate_rays", "namedtuple_map", "ProceduralScene"]

@@ -1,0 +1,229 @@
+"""Occupancy grid (TPU-native, functional).
+
+Redesign of the reference ``nerfacc/grid.py`` for JAX: the grid is an
+immutable pytree (``flax.struct.dataclass``) and the EMA update is a pure
+function ``(grid, key, ...) -> grid`` that the training loop jits. The
+torch version mutates ``nn.Module`` buffers in place; here every piece of
+state is explicit, which is also what makes multi-chip replication and
+checkpointing trivial (the grid is just arrays).
+
+Semantics preserved from the reference:
+  * EMA update ``occs[idx] = max(occs[idx] * decay, occ)`` with cell
+    selection "all cells during warmup, else N uniform + N occupied"
+    (``grid.py:196-239``);
+  * binarization at ``occs > min(mean(occs), occ_thre)`` (``grid.py:237-239``);
+  * query semantics of ``grid_occupied_at`` (``ray_marching.cu:27-45``):
+    AABB grids return unoccupied outside the roi; all types contract the
+    point and do a nearest-cell lookup.
+
+Static-shape note: "occupied cells" selection uses inverse-CDF sampling
+with replacement over the binary mask (the reference gathers the exact
+occupied set, a dynamic shape); with N = num_cells / 4 draws this is
+statistically equivalent for the EMA.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple, Union
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .contraction import ContractionType, contract, contract_inv
+
+
+def query_grid(
+    samples: jnp.ndarray,
+    grid_roi: jnp.ndarray,
+    grid_values: jnp.ndarray,
+    grid_type: ContractionType,
+) -> jnp.ndarray:
+    """Query a 3D grid at world-space points (reference ``grid.py:18-47``
+    + ``ray_marching.cu:27-45``).
+
+    Args:
+        samples: (n_samples, 3) world coordinates.
+        grid_roi: (6,) grid region of interest.
+        grid_values: (resx, resy, resz) grid (bool or float).
+        grid_type: contraction of the grid.
+
+    Returns:
+        (n_samples,) values; 0/False outside the roi for AABB grids.
+    """
+    res = jnp.asarray(grid_values.shape, dtype=jnp.int32)
+    unit = contract(samples, grid_roi, grid_type)
+    ixyz = jnp.clip(
+        jnp.floor(unit * res).astype(jnp.int32), 0, res - 1
+    )
+    flat = (
+        ixyz[..., 0] * (res[1] * res[2]) + ixyz[..., 1] * res[2] + ixyz[..., 2]
+    )
+    vals = grid_values.reshape(-1)[flat]
+    if grid_type == ContractionType.AABB:
+        inside = jnp.all(
+            (samples >= grid_roi[:3]) & (samples <= grid_roi[3:]), axis=-1
+        )
+        zero = jnp.zeros((), dtype=grid_values.dtype)
+        vals = jnp.where(inside, vals, zero)
+    return vals
+
+
+@flax.struct.dataclass
+class OccupancyGrid:
+    """Occupancy grid state (a pytree of arrays + static metadata).
+
+    Attributes:
+        roi_aabb: (6,) region of interest.
+        occs: (num_cells,) float EMA of per-cell occupancy.
+        binary: (resx, resy, resz) bool occupied mask.
+        resolution: static (3,) tuple.
+        contraction_type: static contraction of the grid.
+    """
+
+    roi_aabb: jnp.ndarray
+    occs: jnp.ndarray
+    binary: jnp.ndarray
+    resolution: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    contraction_type: ContractionType = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_cells(self) -> int:
+        rx, ry, rz = self.resolution
+        return rx * ry * rz
+
+    # convenience: world-space centers lookup
+    def query_occ(self, samples: jnp.ndarray) -> jnp.ndarray:
+        """Binary occupancy at world-space points (reference
+        ``grid.py:279-294``)."""
+        return query_grid(
+            samples, self.roi_aabb, self.binary, self.contraction_type
+        )
+
+
+# alias for API parity with the reference's abstract base
+Grid = OccupancyGrid
+
+
+def create_grid(
+    roi_aabb: Union[Sequence[float], jnp.ndarray],
+    resolution: Union[int, Sequence[int]] = 128,
+    contraction_type: ContractionType = ContractionType.AABB,
+    occupied: bool = False,
+) -> OccupancyGrid:
+    """Create a fresh occupancy grid (reference ``grid.py:127-174``).
+
+    Args:
+        occupied: initialize all cells occupied (useful for tests /
+            grid-free marching). The reference initializes all-zero.
+    """
+    if isinstance(resolution, int):
+        resolution = (resolution,) * 3
+    resolution = tuple(int(r) for r in resolution)
+    roi_aabb = jnp.asarray(roi_aabb, dtype=jnp.float32)
+    assert roi_aabb.shape == (6,), f"Invalid shape: {roi_aabb.shape}"
+    nc = int(np.prod(resolution))
+    return OccupancyGrid(
+        roi_aabb=roi_aabb,
+        occs=jnp.zeros((nc,), dtype=jnp.float32),
+        binary=jnp.full(resolution, occupied, dtype=bool),
+        resolution=resolution,
+        contraction_type=contraction_type,
+    )
+
+
+def _grid_coords(resolution: Tuple[int, int, int]) -> jnp.ndarray:
+    """(num_cells, 3) integer cell coordinates, x-major like the reference
+    (``grid.py:297-313``)."""
+    rx, ry, rz = resolution
+    gx, gy, gz = jnp.meshgrid(
+        jnp.arange(rx), jnp.arange(ry), jnp.arange(rz), indexing="ij"
+    )
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+def _sample_cells(
+    grid: OccupancyGrid, key: jax.Array, n: int
+) -> jnp.ndarray:
+    """n uniform + n occupied cell indices (with replacement), the
+    post-warmup selection of reference ``grid.py:181-194``."""
+    k_uni, k_occ = jax.random.split(key)
+    uniform_idx = jax.random.randint(k_uni, (n,), 0, grid.num_cells)
+    w = grid.binary.reshape(-1).astype(jnp.float32)
+    cdf = jnp.cumsum(w)
+    total = cdf[-1]
+    u = jax.random.uniform(k_occ, (n,)) * jnp.maximum(total, 1.0)
+    occ_idx = jnp.searchsorted(cdf, u, side="right")
+    occ_idx = jnp.clip(occ_idx, 0, grid.num_cells - 1)
+    # no occupied cells yet -> fall back to uniform
+    occ_idx = jnp.where(total > 0, occ_idx, uniform_idx)
+    return jnp.concatenate([uniform_idx, occ_idx])
+
+
+def update_grid(
+    grid: OccupancyGrid,
+    key: jax.Array,
+    step: int,
+    occ_eval_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    occ_thre: float = 1e-2,
+    ema_decay: float = 0.95,
+    warmup_steps: int = 256,
+) -> OccupancyGrid:
+    """One EMA occupancy update (pure; reference ``grid.py:196-239``).
+
+    Args:
+        key: PRNG key (replaces the reference's global torch RNG).
+        step: current training step — must be a *Python int* (it selects
+            between the warmup all-cells path and the sampled path, which
+            have different shapes; each path jits once).
+        occ_eval_fn: world-space (N, 3) -> (N, 1) occupancy (density * step).
+    """
+    k_sel, k_jit = jax.random.split(key)
+    if step < warmup_steps:
+        indices = jnp.arange(grid.num_cells)
+    else:
+        indices = _sample_cells(grid, k_sel, grid.num_cells // 4)
+
+    coords = _grid_coords(grid.resolution)[indices]
+    res = jnp.asarray(grid.resolution, dtype=jnp.float32)
+    x_unit = (coords + jax.random.uniform(k_jit, coords.shape)) / res
+
+    if grid.contraction_type == ContractionType.UN_BOUNDED_SPHERE:
+        # only points inside the unit sphere are valid (grid.py:218-222)
+        valid = jnp.linalg.norm(x_unit - 0.5, axis=-1) < 0.5
+    else:
+        valid = jnp.ones(indices.shape, dtype=bool)
+
+    x = contract_inv(x_unit, grid.roi_aabb, grid.contraction_type)
+    occ = occ_eval_fn(x).reshape(-1)
+    occ = jnp.where(valid, occ, -1.0)  # invalid: no-op under scatter-max
+
+    # decay selected (valid) cells once, then scatter-max the new estimates
+    sel = jnp.zeros((grid.num_cells,), dtype=bool).at[indices].max(valid)
+    occs = jnp.where(sel, grid.occs * ema_decay, grid.occs)
+    occs = occs.at[indices].max(occ)
+
+    thre = jnp.minimum(jnp.mean(occs), occ_thre)
+    binary = (occs > thre).reshape(grid.binary.shape)
+    return grid.replace(occs=occs, binary=binary)
+
+
+def every_n_step(
+    grid: OccupancyGrid,
+    key: jax.Array,
+    step: int,
+    occ_eval_fn: Callable,
+    occ_thre: float = 1e-2,
+    ema_decay: float = 0.95,
+    warmup_steps: int = 256,
+    n: int = 16,
+) -> OccupancyGrid:
+    """Update the grid every ``n`` steps (reference ``grid.py:241-277``);
+    returns the (possibly unchanged) grid. ``step`` must be a Python int."""
+    if step % n == 0:
+        return update_grid(
+            grid, key, step, occ_eval_fn,
+            occ_thre=occ_thre, ema_decay=ema_decay, warmup_steps=warmup_steps,
+        )
+    return grid

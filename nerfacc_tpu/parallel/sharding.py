@@ -1,0 +1,117 @@
+"""Multi-chip scale-out (SPMD over a device mesh).
+
+The reference is single-GPU (SURVEY §2.5: no distributed anything); this
+module is new design. Rays are embarrassingly parallel and packed samples
+never cross a ray boundary, so the whole render path runs with **zero
+communication** under a ray-sharded layout:
+
+  * mesh: 1-D ``('data',)`` over all chips (multi-host included — same
+    program, DCN traversed transparently by the collectives);
+  * ray batches sharded on 'data'; radiance-field params + occupancy grid
+    replicated;
+  * the only collectives: ``psum`` of field gradients / losses (over ICI),
+    and a ``pmax`` merge for occupancy-grid EMA updates.
+
+``data_parallel`` wraps a per-shard step function with ``shard_map`` so the
+inner segment-scan machinery sees purely local buffers (local ray count,
+local packed budget) — no cross-device gathers are ever generated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.4.35 moved shard_map out of experimental
+    from jax.sharding import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
+) -> Mesh:
+    """1-D mesh over all (or given) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Shard a pytree of batched arrays along their leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(tree, sharding)
+
+
+def psum_grads(grads, axis: str = "data"):
+    """All-reduce gradients over the mesh axis (rides ICI)."""
+    return jax.lax.psum(grads, axis_name=axis)
+
+
+def data_parallel(
+    step_fn: Callable,
+    mesh: Mesh,
+    axis: str = "data",
+    *,
+    batched_args: Sequence[int],
+    replicated_out: Sequence[int] = (),
+):
+    """shard_map a per-shard step over ray batches.
+
+    Args:
+        step_fn: ``step_fn(*args)``; positional args at indices in
+            ``batched_args`` are sharded on their leading axis, the rest
+            replicated. Inside, ``step_fn`` sees local shards and may use
+            ``jax.lax.psum(..., axis_name=axis)`` (e.g. via
+            :func:`psum_grads`) to combine gradients/metrics.
+        replicated_out: indices of outputs that are replicated (e.g. psum'd
+            grads/losses); the rest are treated as batched (per-ray outputs,
+            concatenated on the leading axis).
+
+    Returns:
+        A jitted SPMD function with the same signature.
+    """
+
+    def in_spec(i):
+        return P(axis) if i in set(batched_args) else P()
+
+    def make_specs(n):
+        return tuple(in_spec(i) for i in range(n))
+
+    def wrapper(*args):
+        in_specs = make_specs(len(args))
+
+        def shard_fn(*local_args):
+            out = step_fn(*local_args)
+            return out
+
+        # determine out specs by calling eval_shape once
+        out_shape = jax.eval_shape(step_fn, *args)
+        flat, treedef = jax.tree_util.tree_flatten(
+            out_shape, is_leaf=lambda x: x is None
+        )
+        rep = set(replicated_out)
+        out_specs = treedef.unflatten(
+            [P() if i in rep else P(axis) for i in range(len(flat))]
+        )
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_rep=False,
+        )(*args)
+
+    return jax.jit(wrapper)

@@ -1,0 +1,79 @@
+"""Multi-device sharding: ray-sharded render == single-device render,
+and the multichip dry run executes on the 8-device CPU mesh."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax.sharding import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from nerfacc_tpu import create_grid
+from nerfacc_tpu.models import VanillaNeRFRadianceField
+from nerfacc_tpu.parallel import make_mesh
+from nerfacc_tpu.utils import render_rays
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_sharded_render_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"conftest should force 8 cpu devices, got {n_dev}"
+    mesh = make_mesh()
+
+    n_rays = 64
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(rng.rand(n_rays, 3) * 2 - 1, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n_rays, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    field = VanillaNeRFRadianceField(net_depth=2, net_width=32)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3)))
+    grid = create_grid([-1.5] * 3 + [1.5] * 3, resolution=16, occupied=True)
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+
+    kwargs = dict(
+        scene_aabb=aabb, render_step_size=5e-2,
+        max_samples_per_ray=64,
+    )
+
+    def local_render(params, grid, o, d):
+        colors, opacities, depths, _ = render_rays(
+            params, field, o, d, grid=grid, render_bkgd=jnp.ones(3),
+            samples_budget=(o.shape[0] * 64), **kwargs,
+        )
+        return colors, opacities, depths
+
+    # single device reference
+    ref_c, ref_o, ref_d = jax.jit(local_render)(params, grid, rays_o, rays_d)
+
+    sharded = jax.jit(
+        shard_map(
+            local_render, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_rep=False,
+        )
+    )
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    grid_r = jax.device_put(grid, NamedSharding(mesh, P()))
+    o_s = jax.device_put(rays_o, NamedSharding(mesh, P("data")))
+    d_s = jax.device_put(rays_d, NamedSharding(mesh, P("data")))
+    got_c, got_o, got_d = sharded(params_r, grid_r, o_s, d_s)
+
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip():
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

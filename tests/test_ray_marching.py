@@ -1,0 +1,149 @@
+"""Ray-marching invariants (reference tests/test_ray_marching.py) plus
+static-shape sampler specifics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu import create_grid, ray_marching
+
+
+def _rand_rays(n=32, seed=0):
+    rng = np.random.RandomState(seed)
+    rays_o = jnp.array(rng.rand(n, 3), jnp.float32)
+    rays_d = jnp.array(rng.randn(n, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_o, rays_d
+
+
+def test_near_far_marching():
+    rays_o, rays_d = _rand_rays()
+    ray_indices, t_starts, t_ends, masks = ray_marching(
+        rays_o, rays_d, near_plane=0.1, far_plane=1.0,
+        render_step_size=1e-2, max_samples_per_ray=128,
+    )
+    m = np.asarray(masks)
+    assert m.any()
+    ts = np.asarray(t_starts)[:, 0][m]
+    te = np.asarray(t_ends)[:, 0][m]
+    assert (ts >= 0.1 - 1e-5).all()
+    mid = (ts + te) / 2
+    assert (mid <= 1.0 + 1e-5).all()
+    assert (te > ts).all()
+    # ray_indices sorted
+    ri = np.asarray(ray_indices)[m]
+    assert (np.diff(ri) >= 0).all()
+
+
+def test_samples_inside_grid_aabb():
+    """Marched sample midpoints lie inside the (occupied) grid AABB
+    (reference tests/test_ray_marching.py:43-47)."""
+    rays_o, rays_d = _rand_rays(seed=1)
+    grid = create_grid(roi_aabb=[0.0, 0.0, 0.0, 1.0, 1.0, 1.0], resolution=8,
+                       occupied=True)
+    scene_aabb = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+    ray_indices, t_starts, t_ends, masks = ray_marching(
+        rays_o, rays_d, scene_aabb=scene_aabb, grid=grid,
+        render_step_size=1e-2, max_samples_per_ray=256,
+    )
+    m = np.asarray(masks)
+    assert m.any()
+    t_mid = (np.asarray(t_starts) + np.asarray(t_ends))[:, 0] / 2
+    o = np.asarray(rays_o)[np.asarray(ray_indices)]
+    d = np.asarray(rays_d)[np.asarray(ray_indices)]
+    x = o + t_mid[:, None] * d
+    eps = 1e-4
+    assert (x[m] >= -eps).all() and (x[m] <= 1 + eps).all()
+
+
+def test_grid_skipping_reduces_samples():
+    rays_o, rays_d = _rand_rays(seed=2)
+    scene_aabb = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+    grid_full = create_grid([0, 0, 0, 1, 1, 1], resolution=8, occupied=True)
+    # only one octant occupied
+    binary = np.zeros((8, 8, 8), bool)
+    binary[:4, :4, :4] = True
+    grid_part = grid_full.replace(binary=jnp.array(binary))
+    _, _, _, m_full = ray_marching(
+        rays_o, rays_d, scene_aabb=scene_aabb, grid=grid_full,
+        render_step_size=1e-2, max_samples_per_ray=256)
+    _, _, _, m_part = ray_marching(
+        rays_o, rays_d, scene_aabb=scene_aabb, grid=grid_part,
+        render_step_size=1e-2, max_samples_per_ray=256)
+    assert int(m_part.sum()) < int(m_full.sum())
+
+
+def test_cone_angle_step_growth():
+    """With cone_angle > 0 step sizes grow as clamp(t*cone, dt_min, dt_max)."""
+    rays_o = jnp.zeros((1, 3))
+    rays_d = jnp.array([[1.0, 0.0, 0.0]])
+    ray_indices, t_starts, t_ends, masks = ray_marching(
+        rays_o, rays_d, near_plane=0.5, far_plane=100.0,
+        render_step_size=1e-2, cone_angle=0.04, max_samples_per_ray=256,
+    )
+    m = np.asarray(masks)
+    ts = np.asarray(t_starts)[:, 0][m]
+    te = np.asarray(t_ends)[:, 0][m]
+    dt = te - ts
+    # reproduce the reference recurrence serially
+    t, want = 0.5, []
+    while (len(want) < len(dt)):
+        step = min(max(t * 0.04, 1e-2), 1e10)
+        want.append(step)
+        t += step
+    np.testing.assert_allclose(dt, np.array(want), rtol=1e-3)
+    # boundaries are contiguous
+    np.testing.assert_allclose(te[:-1], ts[1:], rtol=1e-4)
+
+
+def test_stratified_needs_key_and_jitters():
+    rays_o, rays_d = _rand_rays(n=4, seed=3)
+    try:
+        ray_marching(rays_o, rays_d, near_plane=0.1, far_plane=1.0,
+                     render_step_size=1e-2, stratified=True)
+        assert False, "should require key"
+    except ValueError:
+        pass
+    out1 = ray_marching(rays_o, rays_d, near_plane=0.1, far_plane=1.0,
+                        render_step_size=1e-2, stratified=True,
+                        key=jax.random.PRNGKey(0), max_samples_per_ray=64)
+    out2 = ray_marching(rays_o, rays_d, near_plane=0.1, far_plane=1.0,
+                        render_step_size=1e-2, stratified=True,
+                        key=jax.random.PRNGKey(1), max_samples_per_ray=64)
+    assert not np.allclose(np.asarray(out1.t_starts), np.asarray(out2.t_starts))
+
+
+def test_sigma_fn_visibility_culling():
+    """Opaque wall at t>0.5 -> everything behind it is culled."""
+    rays_o, rays_d = _rand_rays(n=8, seed=4)
+
+    def sigma_fn(t_starts, t_ends, ray_indices):
+        return jnp.where(t_starts > 0.5, 1e4, 0.0)
+
+    out_nofn = ray_marching(
+        rays_o, rays_d, near_plane=0.1, far_plane=2.0,
+        render_step_size=1e-2, max_samples_per_ray=256)
+    out = ray_marching(
+        rays_o, rays_d, near_plane=0.1, far_plane=2.0,
+        render_step_size=1e-2, max_samples_per_ray=256,
+        sigma_fn=sigma_fn, early_stop_eps=1e-4, alpha_thre=0.0)
+    assert int(out.masks.sum()) < int(out_nofn.masks.sum())
+    ts = np.asarray(out.t_starts)[:, 0][np.asarray(out.masks)]
+    # nothing deep behind the wall survives (a couple of wall samples do)
+    assert (ts <= 0.6).all()
+
+
+def test_visible_samples_budget_recompacts():
+    rays_o, rays_d = _rand_rays(n=8, seed=5)
+
+    def sigma_fn(t_starts, t_ends, ray_indices):
+        return jnp.where(t_starts > 0.5, 1e4, 0.0)
+
+    out = ray_marching(
+        rays_o, rays_d, near_plane=0.1, far_plane=2.0,
+        render_step_size=1e-2, max_samples_per_ray=256,
+        sigma_fn=sigma_fn, visible_samples_budget=512)
+    assert out.t_starts.shape == (512, 1)
+    m = np.asarray(out.masks)
+    ri = np.asarray(out.ray_indices)[m]
+    assert (np.diff(ri) >= 0).all()
