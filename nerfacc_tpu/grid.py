@@ -32,6 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from .contraction import ContractionType, contract, contract_inv
+from .lookup import bit_lookup, pack_bits
+
+
+def dilate_binary(binary: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 box (max) dilation, separable per axis.
+
+    Used for the strided coarse occupancy test in the marcher: a sample
+    within half a voxel of a stride point is covered by the dilated value
+    at that point, so striding cannot produce false negatives.
+    """
+    x = binary
+    for axis in range(3):
+        lo = jnp.roll(x, 1, axis=axis).at[(slice(None),) * axis + (0,)].set(False)
+        hi = jnp.roll(x, -1, axis=axis).at[(slice(None),) * axis + (-1,)].set(False)
+        x = x | lo | hi
+    return x
 
 
 def query_grid(
@@ -85,6 +101,11 @@ class OccupancyGrid:
     roi_aabb: jnp.ndarray
     occs: jnp.ndarray
     binary: jnp.ndarray
+    # bit-packed copies of `binary` (and its 1-voxel dilation) for the fast
+    # row-gather lookup path (see nerfacc_tpu.lookup); kept in sync by
+    # create_grid / update_grid / with_binary.
+    bits: jnp.ndarray
+    bits_dilated: jnp.ndarray
     resolution: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     contraction_type: ContractionType = flax.struct.field(pytree_node=False)
 
@@ -101,9 +122,44 @@ class OccupancyGrid:
             samples, self.roi_aabb, self.binary, self.contraction_type
         )
 
+    def query_occ_fast(
+        self, samples: jnp.ndarray, dilated: bool = False
+    ) -> jnp.ndarray:
+        """Occupancy at world-space points via the bit-table fast path.
+
+        Semantics match :func:`query_grid` on the binary grid; ~10x faster
+        on TPU for large batches (row gather vs per-element gather).
+        """
+        res = jnp.asarray(self.resolution, dtype=jnp.int32)
+        unit = contract(samples, self.roi_aabb, self.contraction_type)
+        ixyz = jnp.clip(jnp.floor(unit * res).astype(jnp.int32), 0, res - 1)
+        flat = (
+            ixyz[..., 0] * (res[1] * res[2])
+            + ixyz[..., 1] * res[2]
+            + ixyz[..., 2]
+        )
+        vals = bit_lookup(self.bits_dilated if dilated else self.bits, flat)
+        if self.contraction_type == ContractionType.AABB:
+            inside = jnp.all(
+                (samples >= self.roi_aabb[:3]) & (samples <= self.roi_aabb[3:]),
+                axis=-1,
+            )
+            vals = vals & inside
+        return vals
+
 
 # alias for API parity with the reference's abstract base
 Grid = OccupancyGrid
+
+
+def with_binary(grid: OccupancyGrid, binary: jnp.ndarray) -> OccupancyGrid:
+    """Replace the binary mask, keeping the packed bit-tables in sync."""
+    binary = binary.astype(bool)
+    return grid.replace(
+        binary=binary,
+        bits=pack_bits(binary),
+        bits_dilated=pack_bits(dilate_binary(binary)),
+    )
 
 
 def create_grid(
@@ -124,10 +180,13 @@ def create_grid(
     roi_aabb = jnp.asarray(roi_aabb, dtype=jnp.float32)
     assert roi_aabb.shape == (6,), f"Invalid shape: {roi_aabb.shape}"
     nc = int(np.prod(resolution))
+    binary = jnp.full(resolution, occupied, dtype=bool)
     return OccupancyGrid(
         roi_aabb=roi_aabb,
         occs=jnp.zeros((nc,), dtype=jnp.float32),
-        binary=jnp.full(resolution, occupied, dtype=bool),
+        binary=binary,
+        bits=pack_bits(binary),
+        bits_dilated=pack_bits(binary),  # dilation of all-const == itself
         resolution=resolution,
         contraction_type=contraction_type,
     )
@@ -206,7 +265,12 @@ def update_grid(
 
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     binary = (occs > thre).reshape(grid.binary.shape)
-    return grid.replace(occs=occs, binary=binary)
+    return grid.replace(
+        occs=occs,
+        binary=binary,
+        bits=pack_bits(binary),
+        bits_dilated=pack_bits(dilate_binary(binary)),
+    )
 
 
 def every_n_step(

@@ -4,32 +4,39 @@ Redesign of the reference sampler (``nerfacc/ray_marching.py`` +
 ``cuda/csrc/ray_marching.cu``). The CUDA version runs a per-ray serial DDA
 while-loop, counts samples, syncs to host, allocates exact-size buffers and
 re-marches. That count-then-allocate pattern is hostile to XLA (dynamic
-shapes + host sync), and the serial per-ray loop is hostile to the VPU.
+shapes + host sync), the serial per-ray loop is hostile to the VPU, and —
+measured on v5e — per-element gathers/scatters run ~9 ns/element, so any
+"mask 4M candidates then scatter-compact" formulation is gather-bound.
 
-TPU formulation ("generate-then-mask", then compact):
-  1. *Generate* a dense candidate lattice ``t[k]`` per ray with the exact
-     step recurrence of the reference (``calc_dt``: ``dt = clamp(t * cone,
-     dt_min, dt_max)``, ``ray_marching.cu:9-14``) evaluated in closed form —
-     the recurrence is piecewise (linear, geometric, linear), so ``t[k]``
-     is a direct vectorized function of ``k``. Shape (n_rays, S) — regular,
-     fully parallel.
-  2. *Mask* candidates by ``t_mid < t_max`` and by an occupancy-grid lookup
-     at the sample midpoint (a vectorized gather; replaces the DDA skip —
-     on TPU, computing the cheap mask densely beats serializing the march).
-  3. *Compact* surviving candidates into a fixed-capacity packed buffer
-     (static ``samples_budget``) with sorted ``ray_indices`` + validity
-     mask, so the expensive radiance-field queries run only on (mostly)
-     real samples.
-  4. Optional visibility culling via ``sigma_fn``/``alpha_fn`` exactly like
-     the reference (``ray_marching.py:192-220``), as mask refinement plus an
-     optional second compaction into a smaller buffer.
+TPU formulation (everything dense, zero scatters, only VMEM-table row
+gathers):
 
-For ``cone_angle == 0`` and AABB grids the emitted sample positions are
-identical to the reference's (its DDA advance is lattice-preserving:
-``advance_to_next_voxel`` steps in multiples of ``dt_min``,
-``ray_marching.cu:59-75``). For ``cone_angle > 0`` the reference's skip
-also *resets* the step-growth clock inside empty space; we keep the
-un-skipped schedule (a documented, quality-neutral divergence).
+  1. *Generate* a candidate lattice ``t[k]`` per ray with the exact step
+     recurrence of the reference (``calc_dt``: ``dt = clamp(t * cone,
+     dt_min, dt_max)``, ``ray_marching.cu:9-14``) in closed form — the
+     recurrence is piecewise (linear, geometric, linear), so ``t[k]`` is a
+     direct vectorized function of ``k``. Shape (n_rays, S).
+  2. *Mask* candidates with a bit-packed occupancy lookup (row gather +
+     lane select, :mod:`nerfacc_tpu.lookup`) — optionally at a coarse
+     stride against the 1-voxel-dilated grid (no false negatives), with an
+     exact per-slot re-check in step 4.
+  3. *Select slots*: each ray keeps its first ``K`` live candidates. The
+     selection indices are computed with a two-level chunked rank-search
+     (dense compare+reduce over 128-candidate chunks) — no sort, no
+     nonzero, no scatter. Output layout is dense ``(n_rays, K)``: samples
+     of one ray are one row, so transmittance scans are plain row cumsums
+     and ``ray_indices`` is an iota.
+  4. *Re-evaluate* ``t`` at the selected lattice positions in closed form
+     (nothing is gathered back), apply the exact occupancy bit at the
+     selected midpoints, and optionally cull by ``sigma_fn``/``alpha_fn``
+     visibility exactly like the reference (``ray_marching.py:192-220``).
+
+For ``cone_angle == 0`` the emitted sample positions are identical to the
+reference's (its DDA advance is lattice-preserving: ``advance_to_next_voxel``
+steps in multiples of ``dt_min``, ``ray_marching.cu:59-75``). For
+``cone_angle > 0`` the reference's skip also *resets* the step-growth clock
+inside empty space; we keep the un-skipped schedule (a documented,
+quality-neutral divergence).
 """
 
 from __future__ import annotations
@@ -40,17 +47,51 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .contraction import ContractionType
-from .grid import OccupancyGrid, query_grid
+from .grid import OccupancyGrid
 from .intersection import ray_aabb_intersect
-from .vol_rendering import render_visibility
 
 MAX_DIST = 1e10
 
 
+class RaySegments(NamedTuple):
+    """Dense per-ray samples: row r holds ray r's live samples, K slots.
+
+    When a ray has more live candidates than slots, the marcher *decimates*:
+    it keeps every s-th live candidate (s = ceil(count / K)) and widens that
+    sample's integration width ``deltas`` to cover its s-group — a coarser
+    Riemann sum over the same live interval instead of a front-truncation.
+    With enough slots (s == 1), ``deltas == t_ends - t_starts`` exactly and
+    the sample set matches the reference's.
+
+    The flat views (``.ray_indices``, reshape of t/masks) satisfy the
+    packed-layout contract used everywhere else (sorted ray ids + validity
+    mask); the 2D views make scans and accumulation plain row ops.
+    """
+
+    t_starts: jnp.ndarray  # (n_rays, K) f32 — lattice interval start
+    t_ends: jnp.ndarray  # (n_rays, K) f32 — lattice interval end
+    deltas: jnp.ndarray  # (n_rays, K) f32 — integration width (>= te - ts)
+    masks: jnp.ndarray  # (n_rays, K) bool
+
+    @property
+    def n_rays(self) -> int:
+        return self.t_starts.shape[0]
+
+    @property
+    def slots_per_ray(self) -> int:
+        return self.t_starts.shape[1]
+
+    @property
+    def ray_indices(self) -> jnp.ndarray:
+        r, k = self.t_starts.shape
+        return jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[:, None], (r, k)
+        ).reshape(-1)
+
+
 class PackedSamples(NamedTuple):
-    """Fixed-capacity packed samples. Unpacks like the reference's
-    ``(ray_indices, t_starts, t_ends)`` plus a validity ``masks``."""
+    """Flat fixed-capacity packed samples (reference layout:
+    ``(ray_indices, t_starts, t_ends)`` + validity ``masks``)."""
 
     ray_indices: jnp.ndarray  # (budget,) int32, sorted ascending
     t_starts: jnp.ndarray  # (budget, 1) f32
@@ -58,14 +99,14 @@ class PackedSamples(NamedTuple):
     masks: jnp.ndarray  # (budget,) bool
 
 
-def _march_lattice(
+def _lattice_t(
     t_min: jnp.ndarray,
-    n_samples: int,
+    k: jnp.ndarray,
     step_size: float,
     cone_angle: float,
     dt_max: float = MAX_DIST,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Closed-form candidate boundaries t0, t1 of shape (n_rays, S).
+) -> jnp.ndarray:
+    """Closed-form lattice position t(k) for arbitrary (broadcastable) k.
 
     Implements the reference recurrence ``t += clamp(t * cone_angle,
     step_size, dt_max)`` (``ray_marching.cu:139-161``) without a loop:
@@ -73,55 +114,204 @@ def _march_lattice(
     phase B: geometric growth by (1 + cone);
     phase C (t >= dt_max/cone): linear steps of dt_max.
     """
-    k = jnp.arange(n_samples + 1, dtype=jnp.float32)[None, :]  # (1, S+1)
-    t_min = t_min[:, None].astype(jnp.float32)  # (R, 1)
+    k = k.astype(jnp.float32)
+    t_min = t_min.astype(jnp.float32)
     if cone_angle <= 0.0:
-        t = t_min + k * step_size
-    else:
-        c = cone_angle
-        dmin, dmax = step_size, dt_max
-        # steps in phase A: first k with t_min + k*dmin >= dmin/c
-        nA = jnp.ceil(jnp.maximum(dmin / c - t_min, 0.0) / dmin)
-        tA = t_min + nA * dmin
-        # steps in phase B: first j with tA*(1+c)^j >= dmax/c
-        log_grow = math.log1p(c)
-        ratio = dmax / (c * jnp.maximum(tA, 1e-10))
-        nB = jnp.ceil(jnp.maximum(jnp.log(jnp.maximum(ratio, 1.0)), 0.0) / log_grow)
-        kA = jnp.minimum(k, nA)
-        kB = jnp.clip(k - nA, 0.0, nB)
-        kC = jnp.maximum(k - nA - nB, 0.0)
-        t = (t_min + kA * dmin) * jnp.exp(log_grow * kB) + kC * dmax
-    return t[:, :-1], t[:, 1:]
+        return t_min + k * step_size
+    c = cone_angle
+    dmin, dmax = step_size, dt_max
+    nA = jnp.ceil(jnp.maximum(dmin / c - t_min, 0.0) / dmin)
+    tA = t_min + nA * dmin
+    log_grow = math.log1p(c)
+    ratio = dmax / (c * jnp.maximum(tA, 1e-10))
+    nB = jnp.ceil(jnp.maximum(jnp.log(jnp.maximum(ratio, 1.0)), 0.0) / log_grow)
+    kA = jnp.minimum(k, nA)
+    kB = jnp.clip(k - nA, 0.0, nB)
+    kC = jnp.maximum(k - nA - nB, 0.0)
+    return (t_min + kA * dmin) * jnp.exp(log_grow * kB) + kC * dmax
 
 
-def _compact(
-    flat_mask: jnp.ndarray, budget: int, *arrays: jnp.ndarray
-):
-    """Gather entries where ``flat_mask`` into a (budget,)-shaped buffer.
+def select_slots(
+    valid: jnp.ndarray, k_slots: int, decimate: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per row, pick ``k_slots`` live entries: the first K, or — when a row
+    has more than K live entries and ``decimate`` — every s-th one
+    (s = ceil(count / K)), so the slots always *cover* the live range.
 
-    Returns (valid, gathered...). Selection order is ascending index, so a
-    (ray-major) candidate grid yields sorted ``ray_indices``. Overflowing
-    entries (beyond budget) are dropped — callers size the budget from the
-    sample-count target, exactly like the reference's dynamic batch-size
-    targeting (``train_ngp_nerf.py:236-241``) keeps totals near a target.
+    The stream-compaction primitive, reformulated for TPU: position of the
+    rank-t live candidate = rank search over the row's running count. Runs
+    as (a) a row cumsum, (b) a tiny dense chunk-rank reduce, (c) one
+    VMEM-table row gather of the target 128-wide chunk, (d) an in-chunk
+    dense rank reduce. No sort / nonzero / scatter anywhere.
+
+    Args:
+        valid: (R, S) bool.
+        k_slots: static number of slots per row (<= S).
+        decimate: spread slots over the live range instead of truncating.
+
+    Returns:
+        pos: (R, k_slots) int32 in [0, S) — clamped for invalid slots.
+        ok: (R, k_slots) bool — slot carries a real sample.
+        scale: (R, k_slots) int32 — how many live candidates the slot
+            represents (1 unless decimating; multiply integration widths).
     """
-    total = flat_mask.shape[0]
-    (sel,) = jnp.nonzero(flat_mask, size=budget, fill_value=total)
-    valid = sel < total
-    sel_c = jnp.minimum(sel, total - 1)
-    out = []
-    for a in arrays:
-        # collapse leading dims until they multiply to `total`
-        lead, i = 1, 0
-        while lead < total:
-            lead *= a.shape[i]
-            i += 1
-        assert lead == total, f"array shape {a.shape} incompatible with mask {total}"
-        g = a.reshape((total,) + a.shape[i:])[sel_c]
-        zero = jnp.zeros((), dtype=g.dtype)
-        g = jnp.where(valid.reshape((budget,) + (1,) * (g.ndim - 1)), g, zero)
-        out.append(g)
-    return (valid, *out)
+    R, S = valid.shape
+    c = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # (R, S) inclusive
+    count = c[:, -1:]  # (R, 1)
+    j = jnp.arange(k_slots, dtype=jnp.int32)[None, :]  # (1, K)
+    if decimate:
+        stride = (count + k_slots - 1) // k_slots  # ceil; >= 0
+        stride = jnp.maximum(stride, 1)
+    else:
+        stride = jnp.ones_like(count)
+    tgt = j * stride + 1  # (R, K) rank targets
+    ok = tgt <= count
+    # each slot represents its group of `stride` live candidates; the last
+    # group may be smaller
+    scale = jnp.clip(count - j * stride, 0, stride)
+
+    pad = (-S) % 128
+    if pad:
+        c_p = jnp.concatenate(
+            [c, jnp.broadcast_to(c[:, -1:], (R, pad))], axis=1
+        )
+    else:
+        c_p = c
+    nc = c_p.shape[1] // 128
+    chunk_rows = c_p.reshape(R * nc, 128)
+    chunk_last = c_p.reshape(R, nc, 128)[:, :, -1]  # (R, nc)
+    # chunk holding the rank-tgt live entry = #chunks fully before it
+    cid = jnp.sum(
+        chunk_last[:, :, None] < tgt[:, None, :], axis=1, dtype=jnp.int32
+    )
+    cid = jnp.minimum(cid, nc - 1)  # (R, K)
+    row_ids = jnp.arange(R, dtype=jnp.int32)[:, None] * nc + cid
+    rows = chunk_rows[row_ids.reshape(-1)].reshape(R, k_slots, 128)
+    pos_in = jnp.sum(rows < tgt[:, :, None], axis=2, dtype=jnp.int32)
+    pos = cid * 128 + pos_in
+    return jnp.minimum(pos, S - 1), ok, scale
+
+
+def gather_rows_dense(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``vals[r, idx[r, j]]`` per row via a one-hot reduce (no gather).
+
+    For (R, K<=128) sources this dense formulation beats XLA's per-element
+    gather by orders of magnitude on TPU.
+
+    Args:
+        vals: (R, S) values (S expected modest, e.g. a slot axis).
+        idx: (R, K) int32 in [0, S).
+
+    Returns:
+        (R, K).
+    """
+    S = vals.shape[1]
+    iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    onehot = iota == idx[:, :, None]  # (R, K, S)
+    if vals.dtype == jnp.bool_:
+        return jnp.any(onehot & vals[:, None, :], axis=2)
+    zero = jnp.zeros((), vals.dtype)
+    return jnp.sum(jnp.where(onehot, vals[:, None, :], zero), axis=2)
+
+
+def march_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_min: jnp.ndarray,
+    t_max: jnp.ndarray,
+    grid: Optional[OccupancyGrid] = None,
+    render_step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    max_samples_per_ray: int = 1024,
+    slots_per_ray: int = 64,
+    coarse_stride: int = 1,
+    dt_max: float = MAX_DIST,
+) -> RaySegments:
+    """Grid-accelerated marching into a dense (n_rays, K) slot layout.
+
+    ``coarse_stride`` > 1 tests occupancy every C-th candidate against the
+    1-voxel-dilated grid (recall 1, some extra positives), then re-checks
+    the exact grid at the K selected slots — cutting lookup volume ~C-fold.
+    Choose C such that ``C * render_step_size <= min voxel extent`` so the
+    dilated test cannot miss an occupied voxel.
+    """
+    n_rays = rays_o.shape[0]
+    S, K, C = max_samples_per_ray, slots_per_ray, coarse_stride
+    assert K <= S and S % max(C, 1) == 0
+
+    k = jnp.arange(S, dtype=jnp.float32)[None, :]
+    t_mid = _lattice_t(
+        t_min[:, None], k + 0.5, render_step_size, cone_angle, dt_max
+    )
+    valid = t_mid < t_max[:, None]
+
+    if grid is not None:
+        if C > 1:
+            # coarse: dilated grid at each chunk's center candidate
+            kc = (
+                jnp.arange(S // C, dtype=jnp.float32)[None, :] * C
+                + (C - 1) / 2.0
+                + 0.5
+            )
+            t_probe = _lattice_t(
+                t_min[:, None], kc, render_step_size, cone_angle, dt_max
+            )
+            xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
+            occ = grid.query_occ_fast(xyz, dilated=True)  # (R, S/C)
+            valid = valid & jnp.repeat(occ, C, axis=1)
+        else:
+            xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            valid = valid & grid.query_occ_fast(xyz)
+
+    pos, ok, scale = select_slots(valid, K)  # (R, K)
+    t_starts = _lattice_t(
+        t_min[:, None], pos.astype(jnp.float32), render_step_size, cone_angle, dt_max
+    )
+    t_ends = _lattice_t(
+        t_min[:, None],
+        pos.astype(jnp.float32) + 1.0,
+        render_step_size,
+        cone_angle,
+        dt_max,
+    )
+    deltas = (t_ends - t_starts) * scale.astype(jnp.float32)
+    masks = ok
+    if grid is not None and C > 1:
+        # exact re-check of the selected slots (removes dilation positives)
+        mid = (t_starts + t_ends) * 0.5
+        xyz = rays_o[:, None, :] + mid[..., None] * rays_d[:, None, :]
+        masks = masks & grid.query_occ_fast(xyz)
+    return RaySegments(t_starts=t_starts, t_ends=t_ends, deltas=deltas, masks=masks)
+
+
+def _resolve_t_range(
+    rays_o,
+    rays_d,
+    t_min,
+    t_max,
+    scene_aabb,
+    near_plane,
+    far_plane,
+    stratified,
+    key,
+    render_step_size,
+):
+    """Reference t-range priority: explicit > aabb intersect > [0, 1e10],
+    then near/far clamps and stratified jitter (``ray_marching.py:138-158``)."""
+    n_rays = rays_o.shape[0]
+    if t_min is None or t_max is None:
+        if scene_aabb is not None:
+            t_min, t_max = ray_aabb_intersect(rays_o, rays_d, scene_aabb)
+        else:
+            t_min = jnp.zeros(n_rays, dtype=rays_o.dtype)
+            t_max = jnp.full((n_rays,), MAX_DIST, dtype=rays_o.dtype)
+    if near_plane is not None:
+        t_min = jnp.maximum(t_min, near_plane)
+    if far_plane is not None:
+        t_max = jnp.minimum(t_max, far_plane)
+    if stratified:
+        t_min = t_min + jax.random.uniform(key, t_min.shape) * render_step_size
+    return t_min, t_max
 
 
 def ray_marching(
@@ -150,10 +340,11 @@ def ray_marching(
     max_samples_per_ray: int = 512,
     samples_budget: Optional[int] = None,
     visible_samples_budget: Optional[int] = None,
+    coarse_stride: int = 1,
     dt_max: float = MAX_DIST,
 ) -> PackedSamples:
     """March rays with empty/occluded-space skipping (reference
-    ``ray_marching.py:13-222``).
+    ``ray_marching.py:13-222``), flat packed output.
 
     t-range resolution follows the reference priority: explicit
     ``t_min``/``t_max`` > ``scene_aabb`` intersection > ``[0, 1e10]``, then
@@ -163,14 +354,17 @@ def ray_marching(
         key: PRNG key, required when ``stratified=True`` (replaces the
             reference's global torch RNG).
         max_samples_per_ray: static candidate-lattice length S.
-        samples_budget: static capacity of the packed output (default
-            ``n_rays * S`` = lossless).
-        visible_samples_budget: if set and ``sigma_fn``/``alpha_fn`` is
-            given, re-compact visible samples into this smaller buffer —
-            the reference's cull-then-render trick with static shapes.
+        samples_budget: static total sample capacity; each ray gets
+            ``K = min(S, ceil(budget / n_rays))`` slots (default S).
+        visible_samples_budget: if set together with ``sigma_fn`` /
+            ``alpha_fn``, re-select visible samples into the smaller
+            per-ray capacity — the reference's cull-then-render trick
+            with static shapes.
+        coarse_stride: see :func:`march_rays`.
 
     Returns:
-        :class:`PackedSamples` ``(ray_indices, t_starts, t_ends, masks)``.
+        :class:`PackedSamples` ``(ray_indices, t_starts, t_ends, masks)``
+        with ``budget = n_rays * K`` entries, ray-major (sorted).
     """
     n_rays = rays_o.shape[0]
     if alpha_fn is not None and sigma_fn is not None:
@@ -178,74 +372,70 @@ def ray_marching(
     if stratified and key is None:
         raise ValueError("stratified=True requires a PRNG `key`.")
 
-    if t_min is None or t_max is None:
-        if scene_aabb is not None:
-            t_min, t_max = ray_aabb_intersect(rays_o, rays_d, scene_aabb)
-        else:
-            t_min = jnp.zeros(n_rays, dtype=rays_o.dtype)
-            t_max = jnp.full((n_rays,), MAX_DIST, dtype=rays_o.dtype)
-    if near_plane is not None:
-        t_min = jnp.maximum(t_min, near_plane)
-    if far_plane is not None:
-        t_max = jnp.minimum(t_max, far_plane)
-
-    if stratified:
-        t_min = t_min + jax.random.uniform(key, t_min.shape) * render_step_size
-
-    # candidate lattice (n_rays, S)
-    t0, t1 = _march_lattice(
-        t_min, max_samples_per_ray, render_step_size, cone_angle, dt_max
+    t_min, t_max = _resolve_t_range(
+        rays_o, rays_d, t_min, t_max, scene_aabb, near_plane, far_plane,
+        stratified, key, render_step_size,
     )
-    t_mid = (t0 + t1) * 0.5
-    valid = t_mid < t_max[:, None]
 
-    # occupancy mask at sample midpoints (vectorized; replaces DDA skip)
-    if grid is not None:
-        xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-        occ = query_grid(
-            xyz.reshape(-1, 3),
-            grid.roi_aabb,
-            grid.binary,
-            grid.contraction_type,
-        ).reshape(n_rays, -1)
-        valid = valid & occ
-
-    # compact to the fixed budget; candidate grid is ray-major so the
-    # packed ray_indices come out sorted.
     S = max_samples_per_ray
     if samples_budget is None:
-        samples_budget = n_rays * S
-    ray_ids = jnp.broadcast_to(
-        jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, S)
+        K = S
+    else:
+        K = min(S, max(1, -(-samples_budget // n_rays)))
+    segs = march_rays(
+        rays_o, rays_d, t_min, t_max, grid,
+        render_step_size=render_step_size,
+        cone_angle=cone_angle,
+        max_samples_per_ray=S,
+        slots_per_ray=K,
+        coarse_stride=coarse_stride if grid is not None else 1,
+        dt_max=dt_max,
     )
-    masks, ray_indices, t_starts, t_ends = _compact(
-        valid.reshape(-1), samples_budget, ray_ids, t0, t1
-    )
-    # padding rows: keep in-range ray ids (they carry masks=False)
-    ray_indices = jnp.clip(ray_indices, 0, n_rays - 1)
-    t_starts = t_starts[:, None]
-    t_ends = t_ends[:, None]
 
     # visibility culling (reference ray_marching.py:192-220)
     if sigma_fn is not None or alpha_fn is not None:
-        if sigma_fn is not None:
-            sigmas = sigma_fn(t_starts, t_ends, ray_indices)
-            alphas = 1.0 - jnp.exp(-sigmas * (t_ends - t_starts))
-        else:
-            alphas = alpha_fn(t_starts, t_ends, ray_indices)
-        vis = render_visibility(
-            alphas,
-            ray_indices=ray_indices,
-            n_rays=n_rays,
-            early_stop_eps=early_stop_eps,
-            alpha_thre=alpha_thre,
-            masks=masks,
-        )
-        masks = masks & vis
-        if visible_samples_budget is not None:
-            masks, ray_indices, t_starts, t_ends = _compact(
-                masks, visible_samples_budget, ray_indices, t_starts, t_ends
-            )
-            ray_indices = jnp.clip(ray_indices, 0, n_rays - 1)
+        from .vol_rendering import render_visibility_dense
 
-    return PackedSamples(ray_indices, t_starts, t_ends, masks)
+        flat = _flatten_segments(segs)
+        if sigma_fn is not None:
+            sigmas = sigma_fn(flat.t_starts, flat.t_ends, flat.ray_indices)
+            alphas = 1.0 - jnp.exp(
+                -sigmas.reshape(n_rays, K) * segs.deltas
+            )
+        else:
+            alphas = alpha_fn(
+                flat.t_starts, flat.t_ends, flat.ray_indices
+            ).reshape(n_rays, K)
+        vis = render_visibility_dense(
+            alphas, segs.masks, early_stop_eps=early_stop_eps,
+            alpha_thre=alpha_thre,
+        )
+        segs = segs._replace(masks=segs.masks & vis)
+        if visible_samples_budget is not None:
+            K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
+            pos2, ok2, scale2 = select_slots(segs.masks, K2)
+            segs = RaySegments(
+                t_starts=gather_rows_dense(segs.t_starts, pos2),
+                t_ends=gather_rows_dense(segs.t_ends, pos2),
+                deltas=gather_rows_dense(segs.deltas, pos2)
+                * scale2.astype(jnp.float32),
+                masks=ok2,
+            )
+
+    return _flatten_segments(segs)
+
+
+def _flatten_segments(segs: RaySegments) -> PackedSamples:
+    """Dense (R, K) -> flat packed (R*K,) with sorted ray indices.
+
+    The flat ``t_ends`` is ``t_starts + deltas`` so downstream
+    ``sigma * (t_ends - t_starts)`` integrates the decimation-scaled width
+    (identical to the lattice interval when no decimation happened).
+    """
+    r, k = segs.t_starts.shape
+    return PackedSamples(
+        ray_indices=segs.ray_indices,
+        t_starts=segs.t_starts.reshape(-1, 1),
+        t_ends=(segs.t_starts + segs.deltas).reshape(-1, 1),
+        masks=segs.masks.reshape(-1),
+    )

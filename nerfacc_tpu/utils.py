@@ -4,6 +4,11 @@
 ``render_rays`` is the fully-jittable single-chunk path used by training
 steps; ``render_image`` chunks a full image through it for evaluation
 (reference ``utils.py:79-106``: 8192-ray eval chunks).
+
+TPU layout note: the hot path is *dense* — samples live in an
+(n_rays, slots_per_ray) grid, so field positions come from broadcasting
+(never ``rays_o[ray_indices]`` gathers), transmittance is a row cumsum,
+and accumulation is a row reduction. See ``ray_marching.march_rays``.
 """
 
 from __future__ import annotations
@@ -15,13 +20,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ray_marching import ray_marching
-from .vol_rendering import rendering
+from .ray_marching import (
+    _resolve_t_range,
+    gather_rows_dense,
+    march_rays,
+    select_slots,
+    RaySegments,
+)
+from .vol_rendering import (
+    accumulate_along_rays_dense,
+    render_visibility_dense,
+    render_weight_from_density_dense,
+)
 
 
 def make_field_fns(field, params, rays_o, rays_d, timestamps=None):
     """Build the reference's ``sigma_fn`` / ``rgb_sigma_fn`` closures
-    (``examples/utils.py:50-76``) over a batch of rays.
+    (``examples/utils.py:50-76``) over a batch of rays — flat packed
+    variant (callbacks take ``(t_starts, t_ends, ray_indices)``).
 
     ``field`` is a flax module exposing ``query_density`` and ``__call__``;
     for D-NeRF fields both take a time argument (per-ray ``timestamps``).
@@ -59,6 +75,33 @@ def make_field_fns(field, params, rays_o, rays_d, timestamps=None):
     return sigma_fn, rgb_sigma_fn
 
 
+def _dense_positions(rays_o, rays_d, t_starts, t_ends):
+    """Sample midpoints on the dense layout — pure broadcasting."""
+    t_mid = (t_starts + t_ends) * 0.5
+    return rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+
+
+def _dense_field_query(field, params, x, rays_d=None, timestamps=None,
+                       density_only=False):
+    """Query a flax radiance field at dense (R, K, 3) positions."""
+    R, K = x.shape[:2]
+    xf = x.reshape(R * K, 3)
+    if density_only:
+        if timestamps is None:
+            sigmas = field.apply(params, xf, method=field.query_density)
+        else:
+            t = jnp.repeat(timestamps, K, axis=0)
+            sigmas = field.apply(params, xf, t, method=field.query_density)
+        return sigmas.reshape(R, K)
+    d = jnp.broadcast_to(rays_d[:, None, :], (R, K, 3)).reshape(R * K, 3)
+    if timestamps is None:
+        rgbs, sigmas = field.apply(params, xf, d)
+    else:
+        t = jnp.repeat(timestamps, K, axis=0)
+        rgbs, sigmas = field.apply(params, xf, t, d)
+    return rgbs.reshape(R, K, 3), sigmas.reshape(R, K)
+
+
 def render_rays(
     params,
     field,
@@ -80,47 +123,89 @@ def render_rays(
     max_samples_per_ray=512,
     samples_budget=None,
     visible_samples_budget=None,
+    coarse_stride=1,
+    prefilter_sigma=True,
+    dt_max=1e10,
 ):
     """Render one ray batch: march (no grad) + composite (with grad).
 
     Jittable end to end; returns (colors, opacities, depths, n_samples)
     where n_samples is the live sample count (for dynamic-batch metrics,
     reference ``train_ngp_nerf.py:236-241``).
+
+    ``samples_budget`` sets the per-ray slot count
+    ``K = ceil(budget / n_rays)`` (static shapes); ``prefilter_sigma``
+    enables the reference's 2-stage cheap-cull-then-render trick
+    (``utils.py:86-106``) — worth it when culling shrinks the grad-tracked
+    pass more than one extra density pass costs.
     """
     n_rays = rays_o.shape[0]
-    sigma_fn, rgb_sigma_fn = make_field_fns(
-        field, jax.lax.stop_gradient(params), rays_o, rays_d, timestamps
+    if stratified and key is None:
+        raise ValueError("stratified=True requires a PRNG `key`.")
+    t_min, t_max = _resolve_t_range(
+        rays_o, rays_d, None, None, scene_aabb, near_plane, far_plane,
+        stratified, key, render_step_size,
     )
-    samples = ray_marching(
-        rays_o,
-        rays_d,
-        scene_aabb=scene_aabb,
-        grid=grid,
-        sigma_fn=sigma_fn,
-        early_stop_eps=early_stop_eps,
-        alpha_thre=alpha_thre,
-        near_plane=near_plane,
-        far_plane=far_plane,
+    S = max_samples_per_ray
+    K = S if samples_budget is None else min(
+        S, max(1, -(-samples_budget // n_rays))
+    )
+    segs = march_rays(
+        rays_o, rays_d, t_min, t_max, grid,
         render_step_size=render_step_size,
-        stratified=stratified,
         cone_angle=cone_angle,
-        key=key,
-        max_samples_per_ray=max_samples_per_ray,
-        samples_budget=samples_budget,
-        visible_samples_budget=visible_samples_budget,
+        max_samples_per_ray=S,
+        slots_per_ray=K,
+        coarse_stride=coarse_stride if grid is not None else 1,
+        dt_max=dt_max,
     )
-    # grad-tracked field queries for compositing
-    _, rgb_sigma_fn = make_field_fns(field, params, rays_o, rays_d, timestamps)
-    colors, opacities, depths = rendering(
-        samples.t_starts,
-        samples.t_ends,
-        samples.ray_indices,
-        n_rays=n_rays,
-        rgb_sigma_fn=rgb_sigma_fn,
-        render_bkgd=render_bkgd,
-        masks=samples.masks,
+
+    if prefilter_sigma:
+        # stage 1: cheap no-grad density pass -> visibility culling
+        sg_params = jax.lax.stop_gradient(params)
+        x = _dense_positions(rays_o, rays_d, segs.t_starts, segs.t_ends)
+        sigmas = _dense_field_query(
+            field, sg_params, x, timestamps=timestamps, density_only=True
+        )
+        alphas = 1.0 - jnp.exp(-sigmas * segs.deltas)
+        vis = render_visibility_dense(
+            alphas, segs.masks,
+            early_stop_eps=early_stop_eps, alpha_thre=alpha_thre,
+        )
+        masks = segs.masks & vis
+        if visible_samples_budget is not None:
+            K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
+            pos2, ok2, scale2 = select_slots(masks, K2)
+            segs = RaySegments(
+                t_starts=gather_rows_dense(segs.t_starts, pos2),
+                t_ends=gather_rows_dense(segs.t_ends, pos2),
+                deltas=gather_rows_dense(segs.deltas, pos2)
+                * scale2.astype(jnp.float32),
+                masks=ok2,
+            )
+        else:
+            segs = segs._replace(masks=masks)
+
+    # stage 2: grad-tracked field query + composite
+    t_starts = jax.lax.stop_gradient(segs.t_starts)
+    t_ends = jax.lax.stop_gradient(segs.t_ends)
+    deltas = jax.lax.stop_gradient(segs.deltas)
+    x = _dense_positions(rays_o, rays_d, t_starts, t_ends)
+    rgbs, sigmas = _dense_field_query(
+        field, params, x, rays_d=rays_d, timestamps=timestamps
     )
-    return colors, opacities, depths, samples.masks.sum()
+    weights = render_weight_from_density_dense(
+        t_starts, t_starts + deltas, sigmas, masks=segs.masks
+    )
+    colors = accumulate_along_rays_dense(weights, values=rgbs, masks=segs.masks)
+    opacities = accumulate_along_rays_dense(weights, masks=segs.masks)
+    t_mid = (t_starts + t_ends) * 0.5
+    depths = accumulate_along_rays_dense(
+        weights, values=t_mid[..., None], masks=segs.masks
+    )
+    if render_bkgd is not None:
+        colors = colors + render_bkgd * (1.0 - opacities)
+    return colors, opacities, depths, segs.masks.sum()
 
 
 def render_image(
@@ -135,13 +220,11 @@ def render_image(
 ):
     """Chunked whole-image render (reference ``utils.py:79-106``).
 
-    ``rays_o``/``rays_d`` are flat (h*w, 3); returns stacked numpy-backed
-    arrays of the same leading shape.
+    ``rays_o``/``rays_d`` are flat (h*w, 3); returns stacked arrays of the
+    same leading shape.
 
-    The packed-sample budget is sized *per eval chunk*
-    (``test_chunk_size * eval_samples_per_ray``) rather than inheriting a
-    training budget sized for a different ray count — with grid skipping +
-    sigma culling, 128 live samples/ray of headroom is generous.
+    The per-ray slot count is ``eval_samples_per_ray`` (with grid skipping
+    + sigma culling, 128 live samples/ray of headroom is generous).
     """
     n = rays_o.shape[0]
     chunk = test_chunk_size

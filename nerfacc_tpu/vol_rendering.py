@@ -35,12 +35,17 @@ from .scan import (
 
 __all__ = [
     "rendering",
+    "rendering_dense",
     "accumulate_along_rays",
+    "accumulate_along_rays_dense",
     "render_transmittance_from_density",
     "render_transmittance_from_alpha",
     "render_weight_from_density",
     "render_weight_from_alpha",
+    "render_weight_from_density_dense",
+    "render_weight_from_alpha_dense",
     "render_visibility",
+    "render_visibility_dense",
 ]
 
 
@@ -191,6 +196,177 @@ def _weight_from_alpha_bwd(n_rays, res, g):
 
 
 _weight_from_alpha.defvjp(_weight_from_alpha_fwd, _weight_from_alpha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense (n_rays, K) fast path: one ray per row, so the reference's segmented
+# scans collapse to plain row cumsums — no segment ids, no gathers. This is
+# the layout the TPU marcher emits (ray_marching.march_rays) and the one the
+# training hot loop uses.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _weight_from_density_dense(sigmas, deltas):
+    sd = sigmas * deltas
+    acc = jnp.cumsum(sd, axis=1) - sd  # exclusive row cumsum
+    return jnp.exp(-acc) * (1.0 - jnp.exp(-sd))
+
+
+def _weight_from_density_dense_fwd(sigmas, deltas):
+    sd = sigmas * deltas
+    acc = jnp.cumsum(sd, axis=1) - sd
+    trans = jnp.exp(-acc)
+    weights = trans * (1.0 - jnp.exp(-sd))
+    return weights, (deltas, trans, weights)
+
+
+def _weight_from_density_dense_bwd(res, g):
+    # dL/dsigma_i = delta_i * (g_i T_i - sum_{j>=i} g_j w_j)
+    # (reference render_weight.cu:67-82), suffix sum = reversed row cumsum.
+    deltas, trans, weights = res
+    gw = g * weights
+    suffix_incl = jnp.cumsum(gw[:, ::-1], axis=1)[:, ::-1]
+    grad_sigmas = deltas * (g * trans - suffix_incl)
+    return grad_sigmas, jnp.zeros_like(deltas)
+
+
+_weight_from_density_dense.defvjp(
+    _weight_from_density_dense_fwd, _weight_from_density_dense_bwd
+)
+
+
+@jax.custom_vjp
+def _weight_from_alpha_dense(alphas):
+    trans = jnp.cumprod(1.0 - alphas, axis=1) / jnp.maximum(1.0 - alphas, 1e-10)
+    return trans * alphas
+
+
+def _weight_from_alpha_dense_fwd(alphas):
+    one_m = jnp.maximum(1.0 - alphas, 1e-10)
+    trans = jnp.cumprod(1.0 - alphas, axis=1) / one_m  # exclusive cumprod
+    weights = trans * alphas
+    return weights, (alphas, trans, weights)
+
+
+def _weight_from_alpha_dense_bwd(res, g):
+    # dL/dalpha_i = g_i T_i - (sum_{j>i} g_j w_j) / (1 - alpha_i)
+    # (reference render_weight.cu:137-151).
+    alphas, trans, weights = res
+    gw = g * weights
+    suffix_excl = jnp.cumsum(gw[:, ::-1], axis=1)[:, ::-1] - gw
+    grad_alphas = g * trans - suffix_excl / jnp.maximum(1.0 - alphas, 1e-10)
+    return (grad_alphas,)
+
+
+_weight_from_alpha_dense.defvjp(
+    _weight_from_alpha_dense_fwd, _weight_from_alpha_dense_bwd
+)
+
+
+def render_weight_from_density_dense(t_starts, t_ends, sigmas, masks=None):
+    """Rendering weights ``w_i = T_i (1 - exp(-sigma_i delta_i))`` on the
+    dense (n_rays, K) layout — the row-cumsum equivalent of
+    :func:`render_weight_from_density`. Invalid slots get weight 0 and do
+    not influence any other slot."""
+    deltas = t_ends - t_starts
+    if masks is not None:
+        sigmas = jnp.where(masks, sigmas, 0.0)
+        deltas = jnp.where(masks, deltas, 0.0)
+    return _weight_from_density_dense(sigmas, deltas)
+
+
+def render_weight_from_alpha_dense(alphas, masks=None):
+    """Rendering weights ``w_i = T_i alpha_i`` on the dense layout."""
+    if masks is not None:
+        alphas = jnp.where(masks, alphas, 0.0)
+    return _weight_from_alpha_dense(alphas)
+
+
+def render_transmittance_from_density_dense(t_starts, t_ends, sigmas, masks=None):
+    """Transmittance on the dense layout (exclusive row cumsum)."""
+    deltas = t_ends - t_starts
+    if masks is not None:
+        sigmas = jnp.where(masks, sigmas, 0.0)
+        deltas = jnp.where(masks, deltas, 0.0)
+    sd = sigmas * deltas
+    return jnp.exp(-(jnp.cumsum(sd, axis=1) - sd))
+
+
+def render_transmittance_from_alpha_dense(alphas, masks=None):
+    """Transmittance ``T_i = prod_{j<i} (1 - alpha_j)`` on the dense layout."""
+    if masks is not None:
+        alphas = jnp.where(masks, alphas, 0.0)
+    return jnp.cumprod(1.0 - alphas, axis=1) / jnp.maximum(1.0 - alphas, 1e-10)
+
+
+def render_visibility_dense(
+    alphas, masks=None, early_stop_eps: float = 1e-4, alpha_thre: float = 0.0
+):
+    """Visibility mask on the dense layout: ``T >= early_stop_eps`` and
+    ``alpha >= alpha_thre`` (reference ``vol_rendering.py:452-520``)."""
+    alphas = jax.lax.stop_gradient(alphas)
+    if masks is not None:
+        alphas = jnp.where(masks, alphas, 0.0)
+    trans = render_transmittance_from_alpha_dense(alphas)
+    vis = trans >= early_stop_eps
+    if alpha_thre > 0:
+        vis = vis & (alphas >= alpha_thre)
+    if masks is not None:
+        vis = vis & masks
+    return vis
+
+
+def accumulate_along_rays_dense(weights, values=None, masks=None):
+    """Per-ray accumulation on the dense layout: ``sum_k w_k v_k`` along
+    the slot axis. Returns (n_rays, D)."""
+    if masks is not None:
+        weights = jnp.where(masks, weights, 0.0)
+    if values is None:
+        return jnp.sum(weights, axis=1, keepdims=True)
+    return jnp.einsum("rk,rkd->rd", weights, values)
+
+
+def rendering_dense(
+    t_starts,
+    t_ends,
+    masks,
+    rgb_sigma_fn: Optional[Callable] = None,
+    rgb_alpha_fn: Optional[Callable] = None,
+    render_bkgd=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Render rays on the dense (n_rays, K) layout (fast-path twin of
+    :func:`rendering`; same math as reference ``vol_rendering.py:15-129``).
+
+    The field callback receives dense ``(t_starts, t_ends)`` of shape
+    (n_rays, K) and must return ``rgbs (n_rays, K, 3)`` and ``sigmas`` (or
+    alphas) of shape (n_rays, K).
+    """
+    if rgb_sigma_fn is None and rgb_alpha_fn is None:
+        raise ValueError(
+            "At least one of `rgb_sigma_fn` and `rgb_alpha_fn` should be "
+            "specified."
+        )
+    t_starts = jax.lax.stop_gradient(t_starts)
+    t_ends = jax.lax.stop_gradient(t_ends)
+    if rgb_sigma_fn is not None:
+        rgbs, sigmas = rgb_sigma_fn(t_starts, t_ends)
+        weights = render_weight_from_density_dense(
+            t_starts, t_ends, sigmas, masks=masks
+        )
+    else:
+        rgbs, alphas = rgb_alpha_fn(t_starts, t_ends)
+        weights = render_weight_from_alpha_dense(alphas, masks=masks)
+
+    colors = accumulate_along_rays_dense(weights, values=rgbs, masks=masks)
+    opacities = accumulate_along_rays_dense(weights, masks=masks)
+    t_mid = (t_starts + t_ends) / 2.0
+    depths = accumulate_along_rays_dense(
+        weights, values=t_mid[..., None], masks=masks
+    )
+    if render_bkgd is not None:
+        colors = colors + render_bkgd * (1.0 - opacities)
+    return colors, opacities, depths
 
 
 # ---------------------------------------------------------------------------

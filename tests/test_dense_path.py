@@ -1,0 +1,237 @@
+"""Tests for the TPU fast-path primitives: bit-table lookups, slot
+selection (stream compaction without scatters), dense-row gathering, and
+the dense (n_rays, K) rendering path — checked against the flat segmented
+reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu import (
+    accumulate_along_rays,
+    accumulate_along_rays_dense,
+    create_grid,
+    dilate_binary,
+    gather_rows_dense,
+    render_visibility,
+    render_visibility_dense,
+    render_weight_from_alpha,
+    render_weight_from_alpha_dense,
+    render_weight_from_density,
+    render_weight_from_density_dense,
+    select_slots,
+    with_binary,
+)
+from nerfacc_tpu.lookup import bit_lookup, flat_lookup, pack_bits
+
+
+def test_pack_bits_roundtrip():
+    rng = np.random.RandomState(0)
+    vals = rng.rand(5000) < 0.3
+    table = pack_bits(jnp.asarray(vals))
+    idx = jnp.asarray(rng.randint(0, 5000, size=777), jnp.int32)
+    got = np.asarray(bit_lookup(table, idx))
+    np.testing.assert_array_equal(got, vals[np.asarray(idx)])
+
+
+def test_flat_lookup_matches_gather():
+    rng = np.random.RandomState(1)
+    vals = jnp.asarray(rng.randn(1000), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 1000, size=333), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(flat_lookup(vals, idx)), np.asarray(vals)[np.asarray(idx)]
+    )
+
+
+def test_select_slots_first_k():
+    rng = np.random.RandomState(2)
+    valid = rng.rand(37, 300) < 0.15
+    pos, ok, scale = select_slots(jnp.asarray(valid), 16, decimate=False)
+    pos, ok, scale = np.asarray(pos), np.asarray(ok), np.asarray(scale)
+    for r in range(37):
+        live = np.nonzero(valid[r])[0]
+        k = min(16, len(live))
+        assert ok[r, :k].all() and not ok[r, k:].any()
+        np.testing.assert_array_equal(pos[r, :k], live[:16][:k])
+        assert (scale[r, :k] == 1).all()
+
+
+def test_select_slots_decimates():
+    """Rows with more live entries than slots cover the whole live range
+    with stride ceil(count / K); slot scales sum to the live count."""
+    rng = np.random.RandomState(8)
+    valid = rng.rand(23, 300) < 0.5  # ~150 live >> 16 slots
+    K = 16
+    pos, ok, scale = select_slots(jnp.asarray(valid), K)
+    pos, ok, scale = np.asarray(pos), np.asarray(ok), np.asarray(scale)
+    for r in range(23):
+        live = np.nonzero(valid[r])[0]
+        s = -(-len(live) // K)
+        want_ranks = np.arange(K) * s
+        real = want_ranks < len(live)
+        np.testing.assert_array_equal(ok[r], real)
+        np.testing.assert_array_equal(pos[r][real], live[want_ranks[real]])
+        assert scale[r][real].sum() == len(live)
+        # coverage: last selected sample is near the end of the live range
+        assert pos[r][real][-1] >= live[-s]
+
+
+def test_select_slots_all_and_none():
+    valid = jnp.ones((4, 256), bool)
+    pos, ok, scale = select_slots(valid, 8, decimate=False)
+    np.testing.assert_array_equal(np.asarray(pos), np.tile(np.arange(8), (4, 1)))
+    assert np.asarray(ok).all()
+    pos, ok, scale = select_slots(jnp.zeros((4, 256), bool), 8)
+    assert not np.asarray(ok).any()
+
+
+def test_gather_rows_dense():
+    rng = np.random.RandomState(3)
+    vals = jnp.asarray(rng.randn(9, 40), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 40, size=(9, 7)), jnp.int32)
+    got = np.asarray(gather_rows_dense(vals, idx))
+    want = np.take_along_axis(np.asarray(vals), np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, want)
+
+
+def test_dilate_binary():
+    b = np.zeros((8, 8, 8), bool)
+    b[4, 4, 4] = True
+    d = np.asarray(dilate_binary(jnp.asarray(b)))
+    want = np.zeros((8, 8, 8), bool)
+    want[3:6, 3:6, 3:6] = True
+    np.testing.assert_array_equal(d, want)
+    # no wraparound at edges
+    b2 = np.zeros((8, 8, 8), bool)
+    b2[0, 0, 0] = True
+    d2 = np.asarray(dilate_binary(jnp.asarray(b2)))
+    assert not d2[-1].any() and not d2[:, -1].any() and not d2[:, :, -1].any()
+
+
+def test_query_occ_fast_matches_query_occ():
+    rng = np.random.RandomState(4)
+    binary = rng.rand(16, 16, 16) < 0.4
+    grid = with_binary(
+        create_grid([0, 0, 0, 1, 1, 1], resolution=16), jnp.asarray(binary)
+    )
+    x = jnp.asarray(rng.rand(500, 3) * 1.4 - 0.2, jnp.float32)  # some outside
+    np.testing.assert_array_equal(
+        np.asarray(grid.query_occ_fast(x)), np.asarray(grid.query_occ(x))
+    )
+
+
+def _dense_fixture(seed=0, R=5, K=13):
+    rng = np.random.RandomState(seed)
+    t_starts = jnp.asarray(np.sort(rng.rand(R, K), axis=1), jnp.float32)
+    t_ends = t_starts + jnp.asarray(rng.rand(R, K) * 0.1 + 0.01, jnp.float32)
+    sigmas = jnp.asarray(rng.rand(R, K) * 3, jnp.float32)
+    masks = jnp.asarray(rng.rand(R, K) < 0.7)
+    return t_starts, t_ends, sigmas, masks
+
+
+def _flatten(x):
+    return x.reshape(-1, 1)
+
+
+def _ray_ids(R, K):
+    return jnp.repeat(jnp.arange(R, dtype=jnp.int32), K)
+
+
+def test_dense_weights_match_flat():
+    t_starts, t_ends, sigmas, masks = _dense_fixture()
+    R, K = sigmas.shape
+    w_dense = render_weight_from_density_dense(t_starts, t_ends, sigmas, masks)
+    w_flat = render_weight_from_density(
+        _flatten(t_starts), _flatten(t_ends), _flatten(sigmas),
+        ray_indices=_ray_ids(R, K), n_rays=R, masks=masks.reshape(-1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_dense).reshape(-1), np.asarray(w_flat)[:, 0],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_dense_weights_from_alpha_match_flat():
+    _, _, sigmas, masks = _dense_fixture(seed=1)
+    alphas = 1 - jnp.exp(-sigmas * 0.05)
+    R, K = alphas.shape
+    w_dense = render_weight_from_alpha_dense(alphas, masks)
+    w_flat = render_weight_from_alpha(
+        _flatten(alphas), ray_indices=_ray_ids(R, K), n_rays=R,
+        masks=masks.reshape(-1),
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_dense).reshape(-1), np.asarray(w_flat)[:, 0],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_dense_visibility_matches_flat():
+    _, _, sigmas, masks = _dense_fixture(seed=2)
+    alphas = 1 - jnp.exp(-sigmas * 0.3)
+    R, K = alphas.shape
+    v_dense = render_visibility_dense(alphas, masks, early_stop_eps=0.05,
+                                      alpha_thre=0.2)
+    v_flat = render_visibility(
+        _flatten(alphas), ray_indices=_ray_ids(R, K), n_rays=R,
+        masks=masks.reshape(-1), early_stop_eps=0.05, alpha_thre=0.2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(v_dense).reshape(-1), np.asarray(v_flat)
+    )
+
+
+def test_dense_accumulate_matches_flat():
+    rng = np.random.RandomState(5)
+    R, K = 4, 9
+    w = jnp.asarray(rng.rand(R, K), jnp.float32)
+    vals = jnp.asarray(rng.rand(R, K, 3), jnp.float32)
+    masks = jnp.asarray(rng.rand(R, K) < 0.6)
+    got = accumulate_along_rays_dense(w, vals, masks)
+    want = accumulate_along_rays(
+        w.reshape(-1), _ray_ids(R, K), vals.reshape(-1, 3), n_rays=R,
+        masks=masks.reshape(-1),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_dense_weight_gradients_match_flat():
+    t_starts, t_ends, sigmas, masks = _dense_fixture(seed=6)
+    R, K = sigmas.shape
+
+    def loss_dense(s):
+        w = render_weight_from_density_dense(t_starts, t_ends, s, masks)
+        return jnp.sum(w * jnp.cos(jnp.arange(K, dtype=jnp.float32)))
+
+    def loss_flat(s):
+        w = render_weight_from_density(
+            _flatten(t_starts), _flatten(t_ends), _flatten(s),
+            ray_indices=_ray_ids(R, K), n_rays=R, masks=masks.reshape(-1),
+        )
+        c = jnp.tile(jnp.cos(jnp.arange(K, dtype=jnp.float32)), R)
+        return jnp.sum(w[:, 0] * c)
+
+    g_dense = jax.grad(loss_dense)(sigmas)
+    g_flat = jax.grad(lambda s: loss_flat(s))(sigmas)
+    np.testing.assert_allclose(
+        np.asarray(g_dense), np.asarray(g_flat), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_dense_alpha_gradients_numeric():
+    _, _, sigmas, masks = _dense_fixture(seed=7, R=3, K=6)
+    alphas = 1 - jnp.exp(-sigmas * 0.2)
+
+    def loss(a):
+        w = render_weight_from_alpha_dense(a, masks)
+        return jnp.sum(w ** 2)
+
+    g = np.asarray(jax.grad(loss)(alphas))
+    # numerical check
+    eps = 1e-4
+    a0 = np.asarray(alphas)
+    for r, k in [(0, 0), (1, 3), (2, 5)]:
+        ap = a0.copy(); ap[r, k] += eps
+        am = a0.copy(); am[r, k] -= eps
+        want = (loss(jnp.asarray(ap)) - loss(jnp.asarray(am))) / (2 * eps)
+        np.testing.assert_allclose(g[r, k], float(want), rtol=1e-2, atol=1e-4)

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerfacc_tpu import create_grid, ray_marching
+from nerfacc_tpu import create_grid, ray_marching, with_binary
 
 
 def _rand_rays(n=32, seed=0):
@@ -63,7 +63,7 @@ def test_grid_skipping_reduces_samples():
     # only one octant occupied
     binary = np.zeros((8, 8, 8), bool)
     binary[:4, :4, :4] = True
-    grid_part = grid_full.replace(binary=jnp.array(binary))
+    grid_part = with_binary(grid_full, jnp.array(binary))
     _, _, _, m_full = ray_marching(
         rays_o, rays_d, scene_aabb=scene_aabb, grid=grid_full,
         render_step_size=1e-2, max_samples_per_ray=256)
