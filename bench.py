@@ -35,14 +35,16 @@ REFERENCE_SAMPLES_PER_S = (1 << 18) * 20_000 / 287.0  # ~1.83e7
 
 def main():
     from nerfacc_tpu import create_grid, with_binary
-    from nerfacc_tpu.models import VanillaNeRFRadianceField
+    from nerfacc_tpu.models import TensoCPRadianceField
     from nerfacc_tpu.utils import render_rays
 
-    n_rays = 4096
+    n_rays = 8192
     samples_budget = 1 << 18
     aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
 
-    field = VanillaNeRFRadianceField()
+    # flagship NGP-class field (the reference's headline workload is the
+    # NGP hash-grid example; this is its TPU-native equivalent)
+    field = TensoCPRadianceField(aabb=tuple(float(v) for v in np.asarray(aabb)))
     params = field.init(
         jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
     )

@@ -32,7 +32,7 @@ import optax
 
 from nerfacc_tpu import ContractionType, create_grid, update_grid
 from nerfacc_tpu.datasets import ProceduralScene
-from nerfacc_tpu.models import NGPRadianceField
+from nerfacc_tpu.models import NGPRadianceField, TensoCPRadianceField
 from nerfacc_tpu.utils import render_image, render_rays
 
 
@@ -57,6 +57,11 @@ def main():
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
+    p.add_argument(
+        "--model", type=str, default="tensorf", choices=["ngp", "tensorf"],
+        help="radiance field: 'tensorf' (CP hat-basis matmuls — the "
+        "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
+    )
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -90,7 +95,10 @@ def main():
         grid_res = args.grid_resolution
         scene_aabb = jnp.asarray(aabb)
 
-    field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
+    if args.model == "tensorf":
+        field = TensoCPRadianceField(aabb=aabb, unbounded=args.unbounded)
+    else:
+        field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
     key = jax.random.PRNGKey(42)
     key, k_init = jax.random.split(key)
     params = field.init(k_init, jnp.zeros((8, 3)), jnp.zeros((8, 3)))

@@ -7,8 +7,12 @@ from .mlp import (
     DNeRFRadianceField,
 )
 from .ngp import NGPRadianceField, contract_to_unisphere, trunc_exp
+from .tensorf import CPLevel, TensoCPRadianceField, hat_basis
 
 __all__ = [
+    "CPLevel",
+    "TensoCPRadianceField",
+    "hat_basis",
     "SinusoidalEncoder",
     "HashEncoder",
     "MLP",

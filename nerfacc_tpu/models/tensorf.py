@@ -1,0 +1,154 @@
+"""Tensor-factorized radiance field — the TPU-native Instant-NGP-class model.
+
+Why not a hash grid on TPU: tcnn-style encoders do ~128 random 8-byte
+lookups per sample, and XLA TPU gathers cost ~3-9 ns per index (measured,
+v5e) with backward scatter-adds far worse — hundreds of ms per step at
+2^18 samples. The locality NGP gets from a hash table can instead come
+from a *tensor factorization* with a local (hat / linear-interpolation)
+basis evaluated densely:
+
+    feature_r(x, y, z) = u_r(x) * v_r(y) * w_r(z)      (CP decomposition)
+    u_r(x) = hat(x) @ U[:, r]                           (dense matmul!)
+
+``hat(x)`` is the (B, G) linear-interpolation basis — exactly 2 adjacent
+nonzeros per row, built with an iota compare (pure VPU) and contracted on
+the MXU. Gradients w.r.t. the factor tables are ``hat(x)^T @ dU`` — also a
+matmul. Zero gathers, zero scatters, in forward *and* backward; parameter
+updates remain local (each sample touches 2 rows per axis per level), which
+is what makes NGP-class models converge in ~20k steps.
+
+Multiple resolution levels (coarse-to-fine, like NGP's level pyramid) are
+concatenated. Heads mirror the reference NGP example
+(``examples/radiance_fields/ngp.py:108-165``): trunc_exp density with a
+geometric feature, SH-deg-4 view encoding, small MLP heads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .ngp import contract_to_unisphere, spherical_harmonics_deg4, trunc_exp
+
+
+def hat_basis(x: jnp.ndarray, grid_size: int) -> jnp.ndarray:
+    """Dense linear-interpolation (hat) basis over a 1D grid.
+
+    Args:
+        x: (B,) coordinates in [0, 1].
+        grid_size: number of grid nodes G (align-corners: node i at
+            ``i / (G - 1)``).
+
+    Returns:
+        (B, G) basis, rows are a partition of unity with exactly two
+        adjacent nonzeros.
+    """
+    u = x * (grid_size - 1)
+    nodes = jnp.arange(grid_size, dtype=x.dtype)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - nodes))
+
+
+class CPLevel(nn.Module):
+    """One CP level: 3 axis tables (G, R); features are per-axis hat-matmul
+    results multiplied elementwise."""
+
+    grid_size: int
+    rank: int
+    init_scale: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, 3) in [0, 1]^3 -> (B, rank)
+        feats = None
+        for axis in range(3):
+            table = self.param(
+                f"axis{axis}",
+                nn.initializers.normal(self.init_scale),
+                (self.grid_size, self.rank),
+            )
+            basis = hat_basis(x[:, axis], self.grid_size).astype(jnp.bfloat16)
+            u = jnp.dot(
+                basis, table.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            feats = u if feats is None else feats * u
+        return feats
+
+
+class _HeadMLP(nn.Module):
+    """Small bf16 MLP head (tcnn-FullyFusedMLP-shaped, 64 wide)."""
+
+    out_dim: int
+    n_hidden: int = 1
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.bfloat16)
+        for _ in range(self.n_hidden):
+            h = nn.Dense(self.width, use_bias=False, dtype=jnp.bfloat16)(x)
+            x = nn.relu(h)
+        return nn.Dense(
+            self.out_dim, use_bias=False, dtype=jnp.bfloat16,
+            param_dtype=jnp.float32,
+        )(x).astype(jnp.float32)
+
+
+class TensoCPRadianceField(nn.Module):
+    """NGP-class radiance field on CP-factorized feature volumes.
+
+    API-compatible with :class:`~nerfacc_tpu.models.NGPRadianceField`
+    (``query_density`` / ``query_opacity`` / ``__call__``); density outside
+    the (contracted) unit cube is zeroed by the selector like the reference
+    (``ngp.py:153-165``).
+    """
+
+    aabb: Tuple[float, ...]
+    levels: Tuple[Tuple[int, int], ...] = ((128, 64), (512, 128))
+    use_viewdirs: bool = True
+    unbounded: bool = False
+    geo_feat_dim: int = 15
+
+    def setup(self):
+        self.cp_levels = [
+            CPLevel(grid_size=g, rank=r, name=f"level{i}")
+            for i, (g, r) in enumerate(self.levels)
+        ]
+        self.mlp_base = _HeadMLP(1 + self.geo_feat_dim, n_hidden=1)
+        self.mlp_head = _HeadMLP(3, n_hidden=2)
+
+    def _contract(self, x):
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.unbounded:
+            return contract_to_unisphere(x, aabb)
+        return (x - aabb[:3]) / (aabb[3:] - aabb[:3])
+
+    def _encode(self, xu):
+        return jnp.concatenate([lvl(xu) for lvl in self.cp_levels], axis=-1)
+
+    def query_density(self, x, return_feat: bool = False):
+        xu = self._contract(x)
+        selector = jnp.all((xu > 0.0) & (xu < 1.0), axis=-1, keepdims=True)
+        xq = jnp.clip(xu, 0.0, 1.0)
+        h = self.mlp_base(self._encode(xq))
+        density_before, feat = h[..., :1], h[..., 1:]
+        density = trunc_exp(density_before - 1.0) * selector
+        if return_feat:
+            return density, feat
+        return density
+
+    def query_opacity(self, x, step_size):
+        return self.query_density(x) * step_size
+
+    def __call__(self, positions, directions=None):
+        density, feat = self.query_density(positions, return_feat=True)
+        if self.use_viewdirs and directions is not None:
+            d = spherical_harmonics_deg4(directions)
+            h = jnp.concatenate([d, feat], axis=-1)
+        else:
+            h = feat
+        rgb = nn.sigmoid(self.mlp_head(h))
+        return rgb, density

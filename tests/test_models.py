@@ -95,3 +95,87 @@ def test_dnerf_field_shapes():
     params = field.init(jax.random.PRNGKey(0), x, t, d)
     rgb, sigma = field.apply(params, x, t, d)
     assert rgb.shape == (5, 3) and sigma.shape == (5, 1)
+
+
+def test_hat_basis_partition_of_unity():
+    from nerfacc_tpu.models import hat_basis
+
+    x = jnp.asarray(np.random.RandomState(0).rand(50), jnp.float32)
+    b = hat_basis(x, 17)
+    assert b.shape == (50, 17)
+    np.testing.assert_allclose(np.asarray(b.sum(-1)), 1.0, rtol=1e-5)
+    # exactly <= 2 nonzeros, adjacent
+    nz = np.asarray(b) > 0
+    assert (nz.sum(-1) <= 2).all()
+    # interpolation exactness: basis @ linspace == identity map
+    nodes = jnp.linspace(0.0, 1.0, 17)
+    np.testing.assert_allclose(np.asarray(b @ nodes), np.asarray(x), atol=1e-6)
+
+
+def test_tensocp_field_shapes_and_selector():
+    from nerfacc_tpu.models import TensoCPRadianceField
+
+    aabb = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
+    field = TensoCPRadianceField(aabb=aabb, levels=((8, 4), (16, 8)))
+    x = jnp.asarray([[0.1, -0.2, 0.3], [5.0, 5.0, 5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], jnp.float32)
+    params = field.init(jax.random.PRNGKey(0), x, d)
+    rgb, sigma = field.apply(params, x, d)
+    assert rgb.shape == (2, 3) and sigma.shape == (2, 1)
+    assert float(sigma[1, 0]) == 0.0  # outside aabb -> zero density
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+
+def test_tensocp_gradients_local():
+    """Gradients flow to the factor tables and are local: a sample only
+    touches the 2 hat-adjacent rows per axis per level."""
+    from nerfacc_tpu.models import TensoCPRadianceField
+
+    aabb = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    field = TensoCPRadianceField(
+        aabb=aabb, levels=((9, 4),), use_viewdirs=False
+    )
+    x = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)  # node 4 of 9 exactly
+    params = field.init(jax.random.PRNGKey(0), x, None)
+
+    def loss(p):
+        _, sigma = field.apply(p, x, None)
+        return sigma.sum()
+
+    g = jax.grad(loss)(params)
+    for axis in range(3):
+        ga = np.asarray(g["params"]["level0"][f"axis{axis}"])
+        assert np.isfinite(ga).all()
+        nonzero_rows = np.nonzero(np.abs(ga).sum(-1) > 0)[0]
+        assert set(nonzero_rows) <= {4}, nonzero_rows
+
+
+def test_tensocp_overfits_point():
+    """Sanity: a few adam steps reduce a toy density-fitting loss."""
+    import optax
+    from nerfacc_tpu.models import TensoCPRadianceField
+
+    aabb = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    field = TensoCPRadianceField(
+        aabb=aabb, levels=((8, 8),), use_viewdirs=False
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(64, 3), jnp.float32)
+    target = jnp.asarray((rng.rand(64) > 0.5) * 2.0, jnp.float32)
+    params = field.init(jax.random.PRNGKey(0), x, None)
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            sigma = field.apply(p, x, method=field.query_density)
+            return jnp.mean((sigma[:, 0] - target) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    params, state, loss0 = step(params, state)
+    for _ in range(60):
+        params, state, loss = step(params, state)
+    assert float(loss) < float(loss0) * 0.7, (float(loss0), float(loss))
