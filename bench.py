@@ -38,8 +38,8 @@ def main():
     from nerfacc_tpu.models import TensoCPRadianceField
     from nerfacc_tpu.utils import render_rays
 
-    n_rays = 8192
-    samples_budget = 1 << 18
+    n_rays = 16384
+    samples_budget = 1 << 19
     aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
 
     # flagship NGP-class field (the reference's headline workload is the
@@ -61,7 +61,7 @@ def main():
         render_step_size=5e-3,
         max_samples_per_ray=1024,
         samples_budget=samples_budget,
-        coarse_stride=4,
+        coarse_stride=8,
     )
 
     @jax.jit
