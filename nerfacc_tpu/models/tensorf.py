@@ -53,25 +53,41 @@ def hat_basis(x: jnp.ndarray, grid_size: int) -> jnp.ndarray:
 
 class CPLevel(nn.Module):
     """One CP level: 3 axis tables (G, R); features are per-axis hat-matmul
-    results multiplied elementwise."""
+    results multiplied elementwise.
+
+    ``use_kernel`` routes through the fused Pallas kernel
+    (:func:`nerfacc_tpu.ops.cp_level_features`) which keeps the (B, G)
+    bases in VMEM instead of round-tripping them through HBM. Measured on
+    v5e it is currently at parity with the XLA path in isolation and
+    slower inside the full train step (its grid-accumulated backward
+    serializes, and XLA streams the bf16 basis well), so the XLA path is
+    the default; the kernel stays available for further tuning."""
 
     grid_size: int
     rank: int
     init_scale: float = 0.2
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, 3) in [0, 1]^3 -> (B, rank)
-        feats = None
-        for axis in range(3):
-            table = self.param(
+        tables = [
+            self.param(
                 f"axis{axis}",
                 nn.initializers.normal(self.init_scale),
                 (self.grid_size, self.rank),
             )
+            for axis in range(3)
+        ]
+        if self.use_kernel:
+            from ..ops import cp_level_features
+
+            return cp_level_features(x, *tables)
+        feats = None
+        for axis in range(3):
             basis = hat_basis(x[:, axis], self.grid_size).astype(jnp.bfloat16)
             u = jnp.dot(
-                basis, table.astype(jnp.bfloat16),
+                basis, tables[axis].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
             feats = u if feats is None else feats * u
@@ -111,10 +127,14 @@ class TensoCPRadianceField(nn.Module):
     use_viewdirs: bool = True
     unbounded: bool = False
     geo_feat_dim: int = 15
+    use_kernel: bool = False
 
     def setup(self):
         self.cp_levels = [
-            CPLevel(grid_size=g, rank=r, name=f"level{i}")
+            CPLevel(
+                grid_size=g, rank=r, use_kernel=self.use_kernel,
+                name=f"level{i}",
+            )
             for i, (g, r) in enumerate(self.levels)
         ]
         self.mlp_base = _HeadMLP(1 + self.geo_feat_dim, n_hidden=1)
