@@ -24,6 +24,9 @@ from .grid import (
 )
 from .intersection import ray_aabb_intersect
 from .losses import distortion as loss_distortion
+from .losses import distortion_dense as loss_distortion_dense
+from .sampling import proposal_sampling_with_filter, sample_along_rays
+from .cdf import ray_resampling_dense
 from .pack import pack_data, pack_info, unpack_data, unpack_info, unpack_info_to_mask
 from .ray_marching import (
     PackedSamples,
@@ -98,6 +101,10 @@ __all__ = [
     "ray_resampling",
     "ResampledRays",
     "loss_distortion",
+    "loss_distortion_dense",
+    "sample_along_rays",
+    "proposal_sampling_with_filter",
+    "ray_resampling_dense",
     "unpack_to_ray_indices",
     "render_transmittance_from_density",
     "render_transmittance_from_alpha",

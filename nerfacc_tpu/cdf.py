@@ -82,9 +82,14 @@ def ray_resampling(
     denom = jnp.maximum(w_sum + padding, 1e-20)
     w_norm = w_pad / denom[seg]
 
-    # global monotone CDF: ray r occupies (r, r+1]
+    # Global monotone CDF: ray r occupies (r, r+1]. Masked entries carry
+    # w_norm == 0, so the inclusive cumsum repeats the previous value across
+    # them — the array stays sorted with interior holes, and a left-search
+    # always resolves to the first *valid* entry reaching the target (any
+    # duplicate-valued masked entry sits after the valid one carrying the
+    # same value).
     cdf_incl = exclusive_segment_cumsum(w_norm, seg, n_rays) + w_norm
-    g = jnp.where(m, seg.astype(jnp.float32) + cdf_incl, jnp.inf)
+    g = seg.astype(jnp.float32) + cdf_incl
 
     # per-ray bin-boundary targets (cdf.cu:42-47)
     num_bins = n_samples + 1
@@ -93,17 +98,11 @@ def ray_resampling(
     rid = jnp.arange(n_rays, dtype=jnp.float32)[:, None]
     qg = (rid + u[None, :]).reshape(-1)  # (n_rays * num_bins,)
 
-    idx = jnp.searchsorted(g, qg, side="right")
-    # clamp each query into its own ray's segment
-    starts_of = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
-    qray = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), num_bins)
-    seg_lo = starts_of[qray]
-    seg_hi = seg_lo + jnp.maximum(counts[qray] - 1, 0)
-    idx = jnp.clip(idx, seg_lo, seg_hi)
-
+    idx = jnp.clip(jnp.searchsorted(g, qg, side="left"), 0, N - 1)
     cdf_next = cdf_incl[idx]
-    first = idx == seg_lo
-    cdf_prev = jnp.where(first, 0.0, cdf_incl[jnp.maximum(idx - 1, 0)])
+    prev_i = jnp.maximum(idx - 1, 0)
+    prev_same_ray = (idx > 0) & (seg[prev_i] == seg[idx])
+    cdf_prev = jnp.where(prev_same_ray, cdf_incl[prev_i], 0.0)
     scaling = (te[idx] - ts[idx]) / jnp.maximum(cdf_next - cdf_prev, 1e-20)
     u_flat = jnp.broadcast_to(u[None, :], (n_rays, num_bins)).reshape(-1)
     t = (u_flat - cdf_prev) * scaling + ts[idx]  # (n_rays * num_bins,)
@@ -121,3 +120,63 @@ def ray_resampling(
         [jnp.arange(n_rays, dtype=jnp.int32) * n_samples, out_counts], axis=-1
     )
     return ResampledRays(out_info, out_starts, out_ends, out_masks, out_ray_indices)
+
+
+def ray_resampling_dense(
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    masks: Optional[jnp.ndarray] = None,
+):
+    """Dense-layout CDF resampling: (n_rays, K) in, (n_rays, n_samples) out.
+
+    Same semantics as :func:`ray_resampling` (weight padding, bin targets,
+    zero-sample rays masked out) but one ray per row: the inverse-CDF
+    lookup is a dense rank reduce ``sum_k (cdf[r,k] < u[r,b])`` — no
+    searchsorted, no gathers beyond a per-row one-hot select.
+
+    Returns:
+        (t_starts, t_ends, masks) of shapes (n_rays, n_samples) x2 + bool.
+    """
+    R, K = weights.shape
+    if masks is None:
+        masks = jnp.ones((R, K), bool)
+    w = jnp.where(masks, jnp.maximum(weights, 0.0), 0.0)
+    counts = masks.sum(axis=1)  # (R,)
+    w_sum = w.sum(axis=1, keepdims=True)
+    padding = jnp.maximum(1e-5 - w_sum, 0.0)
+    pad_step = jnp.where(
+        counts[:, None] > 0, padding / jnp.maximum(counts[:, None], 1), 0.0
+    )
+    w = jnp.where(masks, w + pad_step, 0.0)
+    denom = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-20)
+    w_norm = w / denom
+    cdf = jnp.cumsum(w_norm, axis=1)  # inclusive, (R, K), last == 1
+
+    num_bins = n_samples + 1
+    cdf_step = (1.0 - 1.0 / num_bins) / n_samples
+    u = 1.0 / (2 * num_bins) + jnp.arange(num_bins, dtype=jnp.float32) * cdf_step
+
+    # idx[r, b] = first k with cdf[r, k] >= u[b]  (dense rank reduce)
+    idx = jnp.sum(
+        cdf[:, :, None] < u[None, None, :], axis=1, dtype=jnp.int32
+    )  # (R, num_bins)
+    idx = jnp.minimum(idx, K - 1)
+
+    from .ray_marching import gather_rows_dense
+
+    cdf_next = gather_rows_dense(cdf, idx)
+    cdf_prev = jnp.where(
+        idx > 0, gather_rows_dense(cdf, jnp.maximum(idx - 1, 0)), 0.0
+    )
+    ts_sel = gather_rows_dense(t_starts, idx)
+    te_sel = gather_rows_dense(t_ends, idx)
+    scaling = (te_sel - ts_sel) / jnp.maximum(cdf_next - cdf_prev, 1e-20)
+    bounds = (u[None, :] - cdf_prev) * scaling + ts_sel  # (R, num_bins)
+
+    alive = (counts > 0)[:, None]
+    out_starts = jnp.where(alive, bounds[:, :-1], 0.0)
+    out_ends = jnp.where(alive, bounds[:, 1:], 0.0)
+    out_masks = jnp.broadcast_to(alive, (R, n_samples))
+    return out_starts, out_ends, out_masks

@@ -69,3 +69,27 @@ def distortion(
     B = exclusive_segment_cumsum(w * tmid, ray_indices, n_rays)
     loss_bi = 2.0 * segment_sum(w * (tmid * A - B), ray_indices, n_rays)
     return loss_uni + loss_bi
+
+
+def distortion_dense(
+    weights: jnp.ndarray,
+    t_starts: jnp.ndarray,
+    t_ends: jnp.ndarray,
+    masks: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Distortion loss on the dense (n_rays, K) layout — the row-cumsum
+    twin of :func:`distortion` (same O(K) scan form).
+
+    Returns:
+        (n_rays,) loss values; differentiable in ``weights``.
+    """
+    w = weights
+    if masks is not None:
+        w = jnp.where(masks, w, 0.0)
+    interval = t_ends - t_starts
+    tmid = (t_starts + t_ends) / 2.0
+    loss_uni = (1.0 / 3.0) * jnp.sum(interval * w * w, axis=1)
+    wa = jnp.cumsum(w, axis=1) - w  # exclusive
+    wb = jnp.cumsum(w * tmid, axis=1) - w * tmid
+    loss_bi = 2.0 * jnp.sum(w * (tmid * wa - wb), axis=1)
+    return loss_uni + loss_bi

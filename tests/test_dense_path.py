@@ -235,3 +235,38 @@ def test_dense_alpha_gradients_numeric():
         am = a0.copy(); am[r, k] -= eps
         want = (loss(jnp.asarray(ap)) - loss(jnp.asarray(am))) / (2 * eps)
         np.testing.assert_allclose(g[r, k], float(want), rtol=1e-2, atol=1e-4)
+
+
+def test_render_rays_dnerf_timestamps():
+    """The dense pipeline threads per-ray timestamps through the
+    D-NeRF field (reference examples/utils.py:50-76 conditioning)."""
+    from nerfacc_tpu.models import DNeRFRadianceField
+    from nerfacc_tpu.utils import render_rays
+
+    rng = np.random.RandomState(0)
+    n = 8
+    rays_o = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    ts = jnp.asarray(rng.rand(n, 1), jnp.float32)
+
+    field = DNeRFRadianceField()
+    params = field.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, 3)), jnp.zeros((4, 1)), jnp.zeros((4, 3)),
+    )
+    colors, opacities, depths, n_live = render_rays(
+        params, field, rays_o, rays_d,
+        near_plane=0.1, far_plane=1.0, render_step_size=0.05,
+        max_samples_per_ray=32, timestamps=ts,
+    )
+    assert colors.shape == (n, 3) and opacities.shape == (n, 1)
+    assert np.isfinite(np.asarray(colors)).all()
+    assert int(n_live) > 0
+    # different timestamps change the output (warp is time-dependent)
+    colors2, _, _, _ = render_rays(
+        params, field, rays_o, rays_d,
+        near_plane=0.1, far_plane=1.0, render_step_size=0.05,
+        max_samples_per_ray=32, timestamps=ts + 0.5,
+    )
+    assert not np.allclose(np.asarray(colors), np.asarray(colors2))
