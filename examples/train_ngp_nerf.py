@@ -33,7 +33,7 @@ import optax
 from nerfacc_tpu import ContractionType, create_grid, update_grid
 from nerfacc_tpu.datasets import ProceduralScene
 from nerfacc_tpu.models import NGPRadianceField, TensoCPRadianceField
-from nerfacc_tpu.utils import render_image, render_rays
+from nerfacc_tpu.utils import DynamicRayBucketer, render_image, render_rays
 
 
 def huber(x, y, delta: float = 1.0):
@@ -57,6 +57,12 @@ def main():
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
+    p.add_argument(
+        "--target_sample_batch_size", type=int, default=0,
+        help="if > 0, adapt the ray-batch size (bucketed, recompile-free "
+        "after warmup) to keep live samples/batch near this target — the "
+        "reference's update_num_rays (train_ngp_nerf.py:236-241)",
+    )
     p.add_argument(
         "--model", type=str, default="tensorf", choices=["ngp", "tensorf"],
         help="radiance field: 'tensorf' (CP hat-basis matmuls — the "
@@ -148,16 +154,27 @@ def main():
             occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
         )
 
+    bucketer = (
+        DynamicRayBucketer(
+            args.target_sample_batch_size, init_num_rays=args.num_rays
+        )
+        if args.target_sample_batch_size > 0
+        else None
+    )
+    num_rays = args.num_rays
+
     t_start = time.perf_counter()
     for step in range(args.max_steps):
         key, k_grid, k_render = jax.random.split(key, 3)
         if step % 16 == 0:
             grid = grid_update(params, grid, k_grid, step < 256)
-        rays, pixels = scene.sample_batch(args.num_rays)
+        rays, pixels = scene.sample_batch(num_rays)
         params, opt_state, loss, n = train_step(
             params, opt_state, grid,
             rays.origins, rays.viewdirs, pixels, scene.bkgd, k_render,
         )
+        if bucketer is not None:
+            num_rays = bucketer.update(int(n), num_rays)
         if step % 1000 == 0 or step == args.max_steps - 1:
             el = time.perf_counter() - t_start
             print(

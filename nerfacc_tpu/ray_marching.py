@@ -239,31 +239,72 @@ def march_rays(
     S, K, C = max_samples_per_ray, slots_per_ray, coarse_stride
     assert K <= S and S % max(C, 1) == 0
 
-    k = jnp.arange(S, dtype=jnp.float32)[None, :]
-    t_mid = _lattice_t(
-        t_min[:, None], k + 0.5, render_step_size, cone_angle, dt_max
-    )
-    valid = t_mid < t_max[:, None]
+    if grid is not None and C > 1 and K % C == 0:
+        # Chunk-level fast path. The coarse occupancy mask is constant
+        # across each C-candidate chunk, so selecting the first K live
+        # *samples* is identical to selecting the first K/C live *chunks*
+        # and expanding — but the cumsum/rank-search shrinks C-fold.
+        # (Partial chunks at t_max and dilation positives are trimmed by
+        # the exact per-slot re-checks below.)
+        nch = S // C
+        kc = jnp.arange(nch, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
+        t_probe = _lattice_t(
+            t_min[:, None], kc, render_step_size, cone_angle, dt_max
+        )
+        # chunks straddling t_max: probe inside the live range (the scene
+        # box ends there — a probe beyond it would read "empty"); stays
+        # within the dilation radius of every live sample as long as
+        # C * step <= min voxel extent.
+        t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
+        xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
+        occ = grid.query_occ_fast(xyz, dilated=True)  # (R, nch)
+        # a chunk is live if occupied and its first candidate is in range
+        t_first = _lattice_t(
+            t_min[:, None],
+            jnp.arange(nch, dtype=jnp.float32)[None, :] * C + 0.5,
+            render_step_size, cone_angle, dt_max,
+        )
+        chunk_valid = occ & (t_first < t_max[:, None])
+        pos_c, ok_c, scale_c = select_slots(chunk_valid, K // C)  # (R, K/C)
+        offs = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        pos = (pos_c[:, :, None] * C + offs).reshape(n_rays, K)
+        ok = jnp.repeat(ok_c, C, axis=1)
+        scale = jnp.repeat(scale_c, C, axis=1)
+        # per-sample t-range trim (chunks may straddle t_max)
+        t_mid_sel = _lattice_t(
+            t_min[:, None], pos.astype(jnp.float32) + 0.5,
+            render_step_size, cone_angle, dt_max,
+        )
+        ok = ok & (t_mid_sel < t_max[:, None])
+    else:
+        k = jnp.arange(S, dtype=jnp.float32)[None, :]
+        t_mid = _lattice_t(
+            t_min[:, None], k + 0.5, render_step_size, cone_angle, dt_max
+        )
+        valid = t_mid < t_max[:, None]
 
-    if grid is not None:
-        if C > 1:
-            # coarse: dilated grid at each chunk's center candidate
-            kc = (
-                jnp.arange(S // C, dtype=jnp.float32)[None, :] * C
-                + (C - 1) / 2.0
-                + 0.5
-            )
-            t_probe = _lattice_t(
-                t_min[:, None], kc, render_step_size, cone_angle, dt_max
-            )
-            xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
-            occ = grid.query_occ_fast(xyz, dilated=True)  # (R, S/C)
-            valid = valid & jnp.repeat(occ, C, axis=1)
-        else:
-            xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-            valid = valid & grid.query_occ_fast(xyz)
+        if grid is not None:
+            if C > 1:
+                # coarse: dilated grid at each chunk's center candidate
+                kc = (
+                    jnp.arange(S // C, dtype=jnp.float32)[None, :] * C
+                    + (C - 1) / 2.0
+                    + 0.5
+                )
+                t_probe = _lattice_t(
+                    t_min[:, None], kc, render_step_size, cone_angle, dt_max
+                )
+                xyz = (
+                    rays_o[:, None, :]
+                    + t_probe[..., None] * rays_d[:, None, :]
+                )
+                occ = grid.query_occ_fast(xyz, dilated=True)  # (R, S/C)
+                valid = valid & jnp.repeat(occ, C, axis=1)
+            else:
+                xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+                valid = valid & grid.query_occ_fast(xyz)
 
-    pos, ok, scale = select_slots(valid, K)  # (R, K)
+        pos, ok, scale = select_slots(valid, K)  # (R, K)
     t_starts = _lattice_t(
         t_min[:, None], pos.astype(jnp.float32), render_step_size, cone_angle, dt_max
     )

@@ -255,3 +255,49 @@ def render_image(
     opacities = jnp.concatenate([o[1] for o in outs])[:n]
     depths = jnp.concatenate([o[2] for o in outs])[:n]
     return colors, opacities, depths
+
+
+class DynamicRayBucketer:
+    """Dynamic ray-batch sizing with static shapes.
+
+    The reference resizes ``num_rays`` every step to keep samples/batch
+    near a target (``train_ngp_nerf.py:236-241``) — under jit that is a
+    recompile per step. Here ray counts snap to a geometric bucket ladder:
+    each bucket compiles once, and the controller tracks an EMA of live
+    samples-per-ray to pick the bucket whose expected sample count is
+    closest to the target.
+
+    Host-side and stateful (like the reference's loop-carried num_rays).
+    """
+
+    def __init__(
+        self,
+        target_samples: int,
+        init_num_rays: int = 4096,
+        min_num_rays: int = 1024,
+        max_num_rays: int = 65536,
+        ema: float = 0.9,
+    ):
+        self.target = target_samples
+        self.ema = ema
+        self.buckets = []
+        b = min_num_rays
+        while b <= max_num_rays:
+            self.buckets.append(b)
+            b *= 2
+        self.num_rays = min(
+            self.buckets, key=lambda x: abs(x - init_num_rays)
+        )
+        self._spr = None  # EMA of live samples per ray
+
+    def update(self, n_live_samples: int, num_rays_used: int) -> int:
+        """Feed back a step's live sample count; returns the next batch
+        size (one of the buckets)."""
+        spr = max(n_live_samples, 1) / max(num_rays_used, 1)
+        self._spr = (
+            spr if self._spr is None
+            else self.ema * self._spr + (1 - self.ema) * spr
+        )
+        want = self.target / self._spr
+        self.num_rays = min(self.buckets, key=lambda x: abs(x - want))
+        return self.num_rays

@@ -270,3 +270,19 @@ def test_render_rays_dnerf_timestamps():
         max_samples_per_ray=32, timestamps=ts + 0.5,
     )
     assert not np.allclose(np.asarray(colors), np.asarray(colors2))
+
+
+def test_dynamic_ray_bucketer():
+    from nerfacc_tpu.utils import DynamicRayBucketer
+
+    b = DynamicRayBucketer(target_samples=1 << 16, init_num_rays=4096)
+    assert b.num_rays == 4096
+    # 32 live samples/ray -> wants 65536/32 = 2048 rays
+    for _ in range(20):
+        n = b.update(b.num_rays * 32, b.num_rays)
+    assert n == 2048
+    # very sparse scene: 4 samples/ray -> wants 16384
+    for _ in range(40):
+        n = b.update(b.num_rays * 4, b.num_rays)
+    assert n == 16384
+    assert n in b.buckets

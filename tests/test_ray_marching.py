@@ -147,3 +147,32 @@ def test_visible_samples_budget_recompacts():
     m = np.asarray(out.masks)
     ri = np.asarray(out.ray_indices)[m]
     assert (np.diff(ri) >= 0).all()
+
+
+def test_chunk_level_march_matches_sample_level():
+    """With a uniform grid (dilated == exact) and enough slots (no
+    decimation), the chunk-level fast path (coarse_stride > 1, K % C == 0)
+    emits exactly the same samples as the exact sample-level path. (Under
+    decimation the two use different — both valid — strided subsets.)"""
+    from nerfacc_tpu.ray_marching import march_rays
+    from nerfacc_tpu.intersection import ray_aabb_intersect
+
+    rays_o, rays_d = _rand_rays(n=16, seed=7)
+    grid = create_grid([0, 0, 0, 1, 1, 1], resolution=16, occupied=True)
+    aabb = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+    t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb)
+    a = march_rays(rays_o, rays_d, t_min, t_max, grid,
+                   render_step_size=1e-2, max_samples_per_ray=256,
+                   slots_per_ray=192, coarse_stride=8)
+    b = march_rays(rays_o, rays_d, t_min, t_max, grid,
+                   render_step_size=1e-2, max_samples_per_ray=256,
+                   slots_per_ray=192, coarse_stride=1)
+    ma, mb = np.asarray(a.masks), np.asarray(b.masks)
+    assert ma.any()
+    np.testing.assert_array_equal(ma, mb)
+    np.testing.assert_allclose(
+        np.asarray(a.t_starts)[ma], np.asarray(b.t_starts)[mb], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.deltas)[ma], np.asarray(b.deltas)[mb], rtol=1e-5
+    )
