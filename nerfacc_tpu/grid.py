@@ -220,6 +220,21 @@ def _sample_cells(
     return jnp.concatenate([uniform_idx, occ_idx])
 
 
+def _chunked_eval(fn, x: jnp.ndarray, chunk: int = 1 << 17) -> jnp.ndarray:
+    """Evaluate ``fn`` over (N, 3) points in fixed-size chunks via
+    ``lax.map``. Bounds peak memory for whole-grid warmup updates (a 256^3
+    grid is 16.7M points — evaluating a field with (B, G)-shaped
+    intermediates on all of them at once OOMs a 16 GB chip)."""
+    n = x.shape[0]
+    if n <= chunk:
+        return fn(x)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)])
+    out = jax.lax.map(fn, x.reshape(-1, chunk, 3))
+    return out.reshape((-1,) + out.shape[2:])[:n]
+
+
 def update_grid(
     grid: OccupancyGrid,
     key: jax.Array,
@@ -255,7 +270,7 @@ def update_grid(
         valid = jnp.ones(indices.shape, dtype=bool)
 
     x = contract_inv(x_unit, grid.roi_aabb, grid.contraction_type)
-    occ = occ_eval_fn(x).reshape(-1)
+    occ = _chunked_eval(occ_eval_fn, x).reshape(-1)
     occ = jnp.where(valid, occ, -1.0)  # invalid: no-op under scatter-max
 
     # decay selected (valid) cells once, then scatter-max the new estimates
