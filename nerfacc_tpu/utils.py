@@ -160,8 +160,12 @@ def render_rays(
         dt_max=dt_max,
     )
 
-    if prefilter_sigma:
-        # stage 1: cheap no-grad density pass -> visibility culling
+    two_stage = prefilter_sigma and visible_samples_budget is not None
+    if two_stage:
+        # stage 1: cheap no-grad density pass -> visibility culling ->
+        # recompact to the smaller visible budget (the reference's
+        # cull-then-render trick; pays for itself because stage 2 then
+        # runs on fewer slots)
         sg_params = jax.lax.stop_gradient(params)
         x = _dense_positions(rays_o, rays_d, segs.t_starts, segs.t_ends)
         sigmas = _dense_field_query(
@@ -173,20 +177,17 @@ def render_rays(
             early_stop_eps=early_stop_eps, alpha_thre=alpha_thre,
         )
         masks = segs.masks & vis
-        if visible_samples_budget is not None:
-            K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
-            pos2, ok2, scale2 = select_slots(masks, K2)
-            segs = RaySegments(
-                t_starts=gather_rows_dense(segs.t_starts, pos2),
-                t_ends=gather_rows_dense(segs.t_ends, pos2),
-                deltas=gather_rows_dense(segs.deltas, pos2)
-                * scale2.astype(jnp.float32),
-                masks=ok2,
-            )
-        else:
-            segs = segs._replace(masks=masks)
+        K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
+        pos2, ok2, scale2 = select_slots(masks, K2)
+        segs = RaySegments(
+            t_starts=gather_rows_dense(segs.t_starts, pos2),
+            t_ends=gather_rows_dense(segs.t_ends, pos2),
+            deltas=gather_rows_dense(segs.deltas, pos2)
+            * scale2.astype(jnp.float32),
+            masks=ok2,
+        )
 
-    # stage 2: grad-tracked field query + composite
+    # grad-tracked field query + composite
     t_starts = jax.lax.stop_gradient(segs.t_starts)
     t_ends = jax.lax.stop_gradient(segs.t_ends)
     deltas = jax.lax.stop_gradient(segs.deltas)
@@ -194,18 +195,29 @@ def render_rays(
     rgbs, sigmas = _dense_field_query(
         field, params, x, rays_d=rays_d, timestamps=timestamps
     )
+    masks = segs.masks
+    if prefilter_sigma and not two_stage:
+        # without recompaction the composite runs on every slot anyway, so
+        # the visibility cull is pure mask refinement off the *same*
+        # (grad-tracked) density pass — one field evaluation, not two.
+        alphas = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas) * deltas)
+        vis = render_visibility_dense(
+            alphas, masks,
+            early_stop_eps=early_stop_eps, alpha_thre=alpha_thre,
+        )
+        masks = masks & vis
     weights = render_weight_from_density_dense(
-        t_starts, t_starts + deltas, sigmas, masks=segs.masks
+        t_starts, t_starts + deltas, sigmas, masks=masks
     )
-    colors = accumulate_along_rays_dense(weights, values=rgbs, masks=segs.masks)
-    opacities = accumulate_along_rays_dense(weights, masks=segs.masks)
+    colors = accumulate_along_rays_dense(weights, values=rgbs, masks=masks)
+    opacities = accumulate_along_rays_dense(weights, masks=masks)
     t_mid = (t_starts + t_ends) * 0.5
     depths = accumulate_along_rays_dense(
-        weights, values=t_mid[..., None], masks=segs.masks
+        weights, values=t_mid[..., None], masks=masks
     )
     if render_bkgd is not None:
         colors = colors + render_bkgd * (1.0 - opacities)
-    return colors, opacities, depths, segs.masks.sum()
+    return colors, opacities, depths, masks.sum()
 
 
 def render_image(
