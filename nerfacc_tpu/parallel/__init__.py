@@ -4,6 +4,7 @@ from .sharding import (
     shard_batch,
     data_parallel,
     psum_grads,
+    update_grid_distributed,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "shard_batch",
     "data_parallel",
     "psum_grads",
+    "update_grid_distributed",
 ]

@@ -115,3 +115,39 @@ def data_parallel(
         )(*args)
 
     return jax.jit(wrapper)
+
+
+def update_grid_distributed(
+    grid,
+    key: jax.Array,
+    step: int,
+    occ_eval_fn: Callable,
+    axis: str = "data",
+    **kwargs,
+):
+    """Occupancy-grid EMA update under data parallelism (call inside
+    ``shard_map``; the grid is replicated).
+
+    Each chip samples a *different* cell subset (the PRNG key is folded
+    with the chip's mesh index), evaluates the local field replica, and the
+    per-cell EMA estimates merge with a ``pmax`` — matching the reference's
+    ``occs = max(occs * decay, occ)`` semantics (``grid.py:232``) while
+    multiplying the effective cells-per-update by the chip count. The only
+    other collective in training remains the gradient ``psum``.
+    """
+    from ..grid import update_grid
+    from ..lookup import pack_bits
+    from ..grid import dilate_binary
+
+    local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+    updated = update_grid(grid, local_key, step, occ_eval_fn, **kwargs)
+    occs = jax.lax.pmax(updated.occs, axis_name=axis)
+    binary = (
+        occs > jnp.minimum(jnp.mean(occs), kwargs.get("occ_thre", 1e-2))
+    ).reshape(grid.binary.shape)
+    return grid.replace(
+        occs=occs,
+        binary=binary,
+        bits=pack_bits(binary),
+        bits_dilated=pack_bits(dilate_binary(binary)),
+    )

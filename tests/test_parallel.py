@@ -77,3 +77,50 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_update_grid_distributed_merges_more_cells():
+    """Per-chip EMA updates with folded keys + pmax merge: the merged grid
+    accumulates at least as many occupied cells as any single-chip update,
+    and occs is the elementwise max of the per-chip results."""
+    from nerfacc_tpu import update_grid
+    from nerfacc_tpu.parallel import make_mesh, update_grid_distributed
+
+    mesh = make_mesh()
+    grid0 = create_grid([0, 0, 0, 1, 1, 1], resolution=8)
+
+    def occ_eval_fn(x):
+        # occupied inside a small ball
+        d = jnp.linalg.norm(x - 0.5, axis=-1, keepdims=True)
+        return jnp.where(d < 0.3, 1.0, 0.0)
+
+    key = jax.random.PRNGKey(0)
+
+    def shard_fn(grid, key):
+        # post-warmup path: each chip samples 1/4 of the cells
+        return update_grid_distributed(
+            grid, key, step=10**9, occ_eval_fn=occ_eval_fn
+        )
+
+    merged = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+            check_rep=False,
+        )
+    )(
+        jax.device_put(grid0, NamedSharding(mesh, P())),
+        jax.device_put(key, NamedSharding(mesh, P())),
+    )
+
+    # single-chip reference with one of the folded keys
+    single = update_grid(
+        grid0, jax.random.fold_in(key, 0), step=10**9,
+        occ_eval_fn=occ_eval_fn,
+    )
+    assert int(merged.binary.sum()) >= int(single.binary.sum())
+    assert (np.asarray(merged.occs) >= np.asarray(single.occs) - 1e-6).all()
+    # bits stay in sync with binary
+    from nerfacc_tpu.lookup import pack_bits
+    np.testing.assert_array_equal(
+        np.asarray(merged.bits), np.asarray(pack_bits(merged.binary))
+    )
