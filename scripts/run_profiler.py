@@ -54,9 +54,12 @@ def main():
     args = p.parse_args()
 
     from nerfacc_tpu import (
-        ray_marching, ray_resampling, render_weight_from_density,
-        loss_distortion, create_grid,
+        ray_marching, ray_resampling, ray_resampling_dense,
+        render_weight_from_density, render_weight_from_density_dense,
+        loss_distortion, loss_distortion_dense, create_grid,
     )
+    from nerfacc_tpu.ray_marching import march_rays
+    from nerfacc_tpu.intersection import ray_aabb_intersect
 
     n_rays, S = args.n_rays, args.samples_per_ray
     N = n_rays * S
@@ -107,6 +110,35 @@ def main():
                 None, w, t_starts, t_ends, ray_indices=seg, n_rays=n_rays
             ),
             weights,
+        )
+
+        # the dense (n_rays, K) fast paths the training hot loop uses
+        print(f"== dense ops at {n_rays} rays x {S} slots ==")
+        ts2 = t_starts.reshape(n_rays, S)
+        te2 = t_ends.reshape(n_rays, S)
+        sig2 = sigmas.reshape(n_rays, S)
+        w2 = weights.reshape(n_rays, S)
+        timer.time(
+            "render_weight_from_density_dense fwd",
+            lambda s: render_weight_from_density_dense(ts2, te2, s),
+            sig2,
+        )
+        timer.time(
+            "render_weight_from_density_dense fwd+bwd",
+            jax.grad(
+                lambda s: render_weight_from_density_dense(ts2, te2, s).sum()
+            ),
+            sig2,
+        )
+        timer.time(
+            "ray_resampling_dense (32/ray)",
+            lambda w: ray_resampling_dense(ts2, te2, w, 32)[0],
+            w2,
+        )
+        timer.time(
+            "loss_distortion_dense",
+            lambda w: loss_distortion_dense(w, ts2, te2),
+            w2,
         )
 
         grid = create_grid([-1.5] * 3 + [1.5] * 3, resolution=128, occupied=True)

@@ -1,0 +1,78 @@
+"""Quality benchmark: train-to-PSNR on the self-contained procedural scene.
+
+Runs the example training CLIs at fixed configs and reports PSNR +
+wall-clock per config as JSON lines — the TPU analogue of the reference's
+published benchmark tables (``docs/source/examples/*.rst``; its scenes
+need dataset downloads, the procedural scene does not).
+
+    python scripts/run_quality.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+CONFIGS = {
+    "tensorf_1k": [
+        "examples/train_ngp_nerf.py", "--model", "tensorf",
+        "--max_steps", "1000", "--num_rays", "8192",
+        "--image_size", "128", "--grid_resolution", "128",
+        "--samples_budget", "262144", "--visible_samples_budget", "131072",
+        "--test_chunk_size", "4096", "--eval_views", "3",
+    ],
+    "tensorf_4k": [
+        "examples/train_ngp_nerf.py", "--model", "tensorf",
+        "--max_steps", "4000", "--num_rays", "8192",
+        "--image_size", "128", "--grid_resolution", "128",
+        "--samples_budget", "262144", "--visible_samples_budget", "131072",
+        "--test_chunk_size", "4096", "--eval_views", "3",
+    ],
+    "vanilla_2k": [
+        "examples/train_mlp_nerf.py",
+        "--max_steps", "2000", "--num_rays", "4096",
+        "--image_size", "128", "--grid_resolution", "128",
+        "--samples_budget", "131072",
+        "--test_chunk_size", "4096", "--eval_views", "3",
+    ],
+}
+
+QUICK = {
+    "tensorf_1k": CONFIGS["tensorf_1k"],
+}
+
+
+def run_one(name: str, argv: list) -> dict:
+    proc = subprocess.run(
+        [sys.executable] + argv, cwd=ROOT, capture_output=True, text=True,
+        timeout=3600,
+    )
+    out = proc.stdout + proc.stderr
+    psnr = re.search(r"PSNR: ([0-9.]+)", out)
+    tsec = re.search(r"train_time_s: ([0-9.]+)", out)
+    rec = {
+        "config": name,
+        "psnr": float(psnr.group(1)) if psnr else None,
+        "train_time_s": float(tsec.group(1)) if tsec else None,
+        "ok": proc.returncode == 0 and psnr is not None,
+    }
+    return rec
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args()
+    configs = QUICK if args.quick else CONFIGS
+    for name, argv in configs.items():
+        print(json.dumps(run_one(name, argv)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
