@@ -52,6 +52,12 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--test_chunk_size", type=int, default=4096)
     p.add_argument("--eval_views", type=int, default=2)
+    p.add_argument(
+        "--coarse_stride", type=int, default=1,
+        help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
+        "dilated grid every C-th candidate and selects chunk-level - "
+        "faster march, slightly coarser sample placement)",
+    )
     args = p.parse_args()
 
     from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
@@ -83,6 +89,7 @@ def main():
         cone_angle=0.0,
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
+        coarse_stride=args.coarse_stride,
     )
 
     @functools.partial(jax.jit, static_argnames=("alpha_thre",))

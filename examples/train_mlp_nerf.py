@@ -56,6 +56,12 @@ def main():
     p.add_argument("--test_chunk_size", type=int, default=4096)
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--eval_views", type=int, default=2)
+    p.add_argument(
+        "--coarse_stride", type=int, default=1,
+        help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
+        "dilated grid every C-th candidate and selects chunk-level - "
+        "faster march, slightly coarser sample placement)",
+    )
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -93,6 +99,7 @@ def main():
         alpha_thre=0.0,
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
+        coarse_stride=args.coarse_stride,
     )
 
     @jax.jit

@@ -68,6 +68,12 @@ def main():
         help="radiance field: 'tensorf' (CP hat-basis matmuls — the "
         "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
     )
+    p.add_argument(
+        "--coarse_stride", type=int, default=8,
+        help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
+        "dilated grid every C-th candidate and selects chunk-level - "
+        "faster march, slightly coarser sample placement)",
+    )
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -123,6 +129,7 @@ def main():
         alpha_thre=alpha_thre,
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
+        coarse_stride=args.coarse_stride,
         visible_samples_budget=args.visible_samples_budget,
     )
 

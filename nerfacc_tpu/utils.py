@@ -255,14 +255,27 @@ def render_image(
             timestamps = jnp.concatenate(
                 [timestamps, jnp.zeros((pad, 1), timestamps.dtype)]
             )
-    outs = []
-    for i in range(0, n + pad, chunk):
+
+    # one jitted chunk renderer (all chunks share a shape): eager per-chunk
+    # dispatch is pathologically slow on remote-attached accelerators
+    @jax.jit
+    def _render_chunk(params, o, d, t):
         colors, opacities, depths, _ = render_rays(
-            params, field, rays_o[i : i + chunk], rays_d[i : i + chunk],
-            timestamps=None if timestamps is None else timestamps[i : i + chunk],
+            params, field, o, d,
+            timestamps=t if timestamps is not None else None,
             **kwargs,
         )
-        outs.append((colors, opacities, depths))
+        return colors, opacities, depths
+
+    dummy_t = jnp.zeros((chunk, 1), jnp.float32)
+    outs = []
+    for i in range(0, n + pad, chunk):
+        outs.append(
+            _render_chunk(
+                params, rays_o[i : i + chunk], rays_d[i : i + chunk],
+                timestamps[i : i + chunk] if timestamps is not None else dummy_t,
+            )
+        )
     colors = jnp.concatenate([o[0] for o in outs])[:n]
     opacities = jnp.concatenate([o[1] for o in outs])[:n]
     depths = jnp.concatenate([o[2] for o in outs])[:n]
