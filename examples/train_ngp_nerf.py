@@ -58,6 +58,12 @@ def main():
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
     p.add_argument(
+        "--ckpt_dir", type=str, default=None,
+        help="orbax checkpoint directory; saves every --ckpt_every steps "
+        "and resumes from the latest checkpoint if one exists",
+    )
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument(
         "--target_sample_batch_size", type=int, default=0,
         help="if > 0, adapt the ray-batch size (bucketed, recompile-free "
         "after warmup) to keep live samples/batch near this target — the "
@@ -170,8 +176,27 @@ def main():
     )
     num_rays = args.num_rays
 
+    # checkpoint/resume (the reference has no checkpointing; SURVEY §5)
+    ckpt = None
+    start_step = 0
+    if args.ckpt_dir:
+        from nerfacc_tpu.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir)
+        if ckpt.latest_step() is not None:
+            template = {
+                "params": params, "opt_state": opt_state, "grid": grid,
+                "step": 0,
+            }
+            restored = ckpt.restore(template)
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            grid = restored["grid"]
+            start_step = int(restored["step"]) + 1
+            print(f"resumed from step {start_step - 1}")
+
     t_start = time.perf_counter()
-    for step in range(args.max_steps):
+    for step in range(start_step, args.max_steps):
         key, k_grid, k_render = jax.random.split(key, 3)
         if step % 16 == 0:
             grid = grid_update(params, grid, k_grid, step < 256)
@@ -182,6 +207,14 @@ def main():
         )
         if bucketer is not None:
             num_rays = bucketer.update(int(n), num_rays)
+        if ckpt is not None and (
+            step % args.ckpt_every == 0 or step == args.max_steps - 1
+        ):
+            ckpt.save(
+                step,
+                {"params": params, "opt_state": opt_state, "grid": grid,
+                 "step": step},
+            )
         if step % 1000 == 0 or step == args.max_steps - 1:
             el = time.perf_counter() - t_start
             print(
