@@ -41,8 +41,8 @@ def huber(x, y, delta: float = 1.0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--scene", type=str, default="lego")
-    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--scene", type=str, default="procedural")
+    p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=30000)
     p.add_argument("--num_rays", type=int, default=4096)
     p.add_argument("--grid_resolution", type=int, default=128)
@@ -58,13 +58,21 @@ def main():
         "dilated grid every C-th candidate and selects chunk-level - "
         "faster march, slightly coarser sample placement)",
     )
+    p.add_argument("--image_size", type=int, default=128)
     args = p.parse_args()
 
-    from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
+    if args.scene == "procedural":
+        from nerfacc_tpu.datasets import ProceduralDynamicScene
 
-    scene = SubjectLoader(
-        subject_id=args.scene, root_fp=args.data_root, split="train"
-    )
+        scene = ProceduralDynamicScene(
+            width=args.image_size, height=args.image_size
+        )
+    else:
+        from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
+
+        scene = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="train"
+        )
     scene_aabb = scene.aabb
 
     field = DNeRFRadianceField()
@@ -152,7 +160,8 @@ def main():
     psnrs = []
     for i in range(min(args.eval_views, scene.test_poses.shape[0])):
         rays = scene.rays_for_view(scene.test_poses[i])
-        t = jnp.full((rays.origins.shape[0], 1), scene.timestamps[i])
+        t_eval = getattr(scene, "test_timestamps", scene.timestamps)
+        t = jnp.full((rays.origins.shape[0], 1), t_eval[i])
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
             grid=grid, render_bkgd=jnp.ones(3), timestamps=t,

@@ -1,4 +1,4 @@
 from .rays import Rays, generate_rays, namedtuple_map
-from .procedural import ProceduralScene
+from .procedural import ProceduralDynamicScene, ProceduralScene
 
-__all__ = ["Rays", "generate_rays", "namedtuple_map", "ProceduralScene"]
+__all__ = ["Rays", "generate_rays", "namedtuple_map", "ProceduralScene", "ProceduralDynamicScene"]

@@ -167,3 +167,96 @@ class ProceduralScene:
             jnp.asarray(xs), jnp.asarray(ys), self.train_poses[img_idx], self.K
         )
         return rays, pixels
+
+
+# ---------------------------------------------------------------------------
+# Time-varying variant (for D-NeRF end-to-end without external data)
+# ---------------------------------------------------------------------------
+
+
+def _shift(t: jnp.ndarray) -> jnp.ndarray:
+    """Rigid scene translation over time (exactly representable by a
+    D-NeRF warp field): (..., 1) time -> (..., 3) offset."""
+    return jnp.concatenate(
+        [
+            0.35 * jnp.sin(2.0 * jnp.pi * t),
+            0.25 * (jnp.cos(2.0 * jnp.pi * t) - 1.0),
+            jnp.zeros_like(t),
+        ],
+        axis=-1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def render_gt_dynamic(rays_o, rays_d, bkgd, t, n_samples: int = 512):
+    """Exact render of the analytic field rigidly shifted by time ``t``
+    ((n_rays, 1) per-ray timestamps)."""
+    aabb = jnp.asarray(AABB)
+    t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb)
+    hit = t_max < 1e9
+    t_min = jnp.where(hit, t_min, 0.0)
+    t_max = jnp.where(hit, t_max, 1e-3)
+    ts = t_min[:, None] + (t_max - t_min)[:, None] * jnp.linspace(
+        0.0, 1.0, n_samples + 1
+    )
+    t0, t1 = ts[:, :-1], ts[:, 1:]
+    tm = (t0 + t1) / 2
+    x = rays_o[:, None, :] + tm[..., None] * rays_d[:, None, :]
+    xc = x - _shift(t)[:, None, :]  # into the canonical frame
+    sigma = field_density(xc.reshape(-1, 3)).reshape(tm.shape)
+    rgb = field_rgb(
+        xc.reshape(-1, 3),
+        jnp.broadcast_to(rays_d[:, None, :], x.shape).reshape(-1, 3),
+    ).reshape(tm.shape + (3,))
+    delta = t1 - t0
+    sd = sigma * delta
+    trans = jnp.exp(-(jnp.cumsum(sd, axis=-1) - sd))
+    weights = trans * (1.0 - jnp.exp(-sd))
+    color = (weights[..., None] * rgb).sum(axis=1)
+    opacity = weights.sum(axis=1, keepdims=True)
+    return color + bkgd * (1.0 - opacity)
+
+
+class ProceduralDynamicScene(ProceduralScene):
+    """Time-varying analytic scene: one timestamp per view (like the
+    D-NeRF dataset's per-frame timestamps, ``dnerf_synthetic.py:34-57``).
+
+    ``sample_batch`` returns (rays, pixels, timestamps); ``timestamps``
+    holds the unique train-frame times for grid updates.
+    """
+
+    def __init__(self, *args, **kwargs):
+        self._dynamic_ready = False
+        super().__init__(*args, **kwargs)
+        n_train = self.train_poses.shape[0]
+        n_test = self.test_poses.shape[0]
+        self.timestamps = jnp.linspace(0.0, 1.0, n_train)
+        self.test_timestamps = jnp.linspace(0.05, 0.95, n_test)
+        self._dynamic_ready = True
+        self.images = self._render_views_t(self.train_poses, self.timestamps)
+        self.test_images = self._render_views_t(
+            self.test_poses, self.test_timestamps
+        )
+
+    def _render_views_t(self, poses, times):
+        h, w = self.height, self.width
+        y, x = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        images = []
+        for i in range(poses.shape[0]):
+            rays = generate_rays(x.reshape(-1), y.reshape(-1), poses[i], self.K)
+            t = jnp.full((rays.origins.shape[0], 1), times[i], jnp.float32)
+            img = render_gt_dynamic(rays.origins, rays.viewdirs, self.bkgd, t)
+            images.append(np.asarray(img).reshape(h, w, 3))
+        return jnp.asarray(np.stack(images))
+
+    def sample_batch(self, num_rays: int):
+        n, h, w = self.images.shape[:3]
+        img_idx = self._rng.randint(0, n, (num_rays,))
+        ys = self._rng.randint(0, h, (num_rays,))
+        xs = self._rng.randint(0, w, (num_rays,))
+        pixels = self.images[img_idx, ys, xs]
+        rays = generate_rays(
+            jnp.asarray(xs), jnp.asarray(ys), self.train_poses[img_idx], self.K
+        )
+        t = self.timestamps[img_idx][:, None]
+        return rays, pixels, t
