@@ -162,11 +162,12 @@ def main():
         rays = scene.rays_for_view(scene.test_poses[i])
         t_eval = getattr(scene, "test_timestamps", scene.timestamps)
         t = jnp.full((rays.origins.shape[0], 1), t_eval[i])
+        eval_kwargs = dict(render_kwargs, coarse_stride=1)
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
             grid=grid, render_bkgd=jnp.ones(3), timestamps=t,
             test_chunk_size=args.test_chunk_size, alpha_thre=0.01,
-            **render_kwargs,
+            **eval_kwargs,
         )
         gt = scene.test_images[i].reshape(-1, 3)
         mse = float(jnp.mean((colors - gt) ** 2))

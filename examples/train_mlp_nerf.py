@@ -154,10 +154,11 @@ def main():
     psnrs = []
     for i in range(min(args.eval_views, scene.test_poses.shape[0])):
         rays = scene.rays_for_view(scene.test_poses[i])
+        eval_kwargs = dict(render_kwargs, coarse_stride=1)
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
             grid=grid, render_bkgd=render_bkgd,
-            test_chunk_size=args.test_chunk_size, **render_kwargs,
+            test_chunk_size=args.test_chunk_size, **eval_kwargs,
         )
         gt = scene.test_images[i].reshape(-1, 3)
         mse = float(jnp.mean((colors - gt) ** 2))

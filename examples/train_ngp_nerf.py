@@ -75,6 +75,12 @@ def main():
         "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
     )
     p.add_argument(
+        "--chunk_select", action="store_true",
+        help="with coarse_stride > 1: chunk-granular slot selection "
+        "(cheaper rank search; hurts quality when rays overflow their "
+        "slots - see march_rays docstring)",
+    )
+    p.add_argument(
         "--coarse_stride", type=int, default=8,
         help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
         "dilated grid every C-th candidate and selects chunk-level - "
@@ -136,6 +142,7 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
+        chunk_level_select=args.chunk_select,
         visible_samples_budget=args.visible_samples_budget,
     )
 
@@ -225,10 +232,11 @@ def main():
     psnrs = []
     for i in range(min(args.eval_views, scene.test_poses.shape[0])):
         rays = scene.rays_for_view(scene.test_poses[i])
+        eval_kwargs = dict(render_kwargs, coarse_stride=1)
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
             grid=grid, render_bkgd=jnp.ones(3),
-            test_chunk_size=args.test_chunk_size, **render_kwargs,
+            test_chunk_size=args.test_chunk_size, **eval_kwargs,
         )
         gt = scene.test_images[i].reshape(-1, 3)
         mse = float(jnp.mean((colors - gt) ** 2))

@@ -25,7 +25,7 @@ geometric feature, SH-deg-4 view encoding, small MLP heads.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

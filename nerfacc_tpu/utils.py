@@ -13,9 +13,6 @@ and accumulation is a row reduction. See ``ray_marching.march_rays``.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -124,6 +121,7 @@ def render_rays(
     samples_budget=None,
     visible_samples_budget=None,
     coarse_stride=1,
+    chunk_level_select=False,
     prefilter_sigma=True,
     dt_max=1e10,
 ):
@@ -157,6 +155,7 @@ def render_rays(
         max_samples_per_ray=S,
         slots_per_ray=K,
         coarse_stride=coarse_stride if grid is not None else 1,
+        chunk_level_select=chunk_level_select,
         dt_max=dt_max,
     )
 

@@ -286,3 +286,37 @@ def test_dynamic_ray_bucketer():
         n = b.update(b.num_rays * 4, b.num_rays)
     assert n == 16384
     assert n in b.buckets
+
+
+def test_render_image_matches_render_rays():
+    """Chunked + padded whole-image rendering equals one-shot rendering."""
+    from nerfacc_tpu.models import TensoCPRadianceField
+    from nerfacc_tpu.utils import render_image, render_rays
+
+    rng = np.random.RandomState(1)
+    n = 50  # not a multiple of the chunk size -> exercises padding
+    rays_o = jnp.asarray(rng.rand(n, 3) * 2 - 1, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+
+    field = TensoCPRadianceField(
+        aabb=(-1.5,) * 3 + (1.5,) * 3, levels=((16, 8),)
+    )
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3)))
+    grid = create_grid([-1.5] * 3 + [1.5] * 3, resolution=16, occupied=True)
+
+    kwargs = dict(
+        grid=grid, scene_aabb=aabb, render_step_size=5e-2,
+        max_samples_per_ray=64, render_bkgd=jnp.ones(3),
+    )
+    c1, o1, d1 = render_image(
+        params, field, rays_o, rays_d,
+        test_chunk_size=16, eval_samples_per_ray=64, **kwargs,
+    )
+    c2, o2, d2, _ = render_rays(
+        params, field, rays_o, rays_d, samples_budget=n * 64, **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
