@@ -75,12 +75,6 @@ def main():
         "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
     )
     p.add_argument(
-        "--chunk_select", action="store_true",
-        help="with coarse_stride > 1: chunk-granular slot selection "
-        "(cheaper rank search; hurts quality when rays overflow their "
-        "slots - see march_rays docstring)",
-    )
-    p.add_argument(
         "--coarse_stride", type=int, default=8,
         help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
         "dilated grid every C-th candidate and selects chunk-level - "
@@ -142,7 +136,6 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
-        chunk_level_select=args.chunk_select,
         visible_samples_budget=args.visible_samples_budget,
     )
 

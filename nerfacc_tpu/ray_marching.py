@@ -131,6 +131,33 @@ def _lattice_t(
     return (t_min + kA * dmin) * jnp.exp(log_grow * kB) + kC * dmax
 
 
+def _lattice_k(
+    t_min: jnp.ndarray,
+    t: jnp.ndarray,
+    step_size: float,
+    cone_angle: float,
+    dt_max: float = MAX_DIST,
+) -> jnp.ndarray:
+    """Inverse of :func:`_lattice_t`: the (fractional) lattice index k with
+    t(k) == t. Used to count in-range candidates in closed form."""
+    t_min = t_min.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    if cone_angle <= 0.0:
+        return (t - t_min) / step_size
+    c = cone_angle
+    dmin, dmax = step_size, dt_max
+    nA = jnp.ceil(jnp.maximum(dmin / c - t_min, 0.0) / dmin)
+    tA = t_min + nA * dmin
+    log_grow = math.log1p(c)
+    ratio = dmax / (c * jnp.maximum(tA, 1e-10))
+    nB = jnp.ceil(jnp.maximum(jnp.log(jnp.maximum(ratio, 1.0)), 0.0) / log_grow)
+    tB = tA * jnp.exp(log_grow * nB)
+    kA = (t - t_min) / dmin
+    kB = nA + jnp.log(jnp.maximum(t / jnp.maximum(tA, 1e-10), 1e-30)) / log_grow
+    kC = nA + nB + (t - tB) / dmax
+    return jnp.where(t <= tA, kA, jnp.where(t <= tB, kB, kC))
+
+
 def select_slots(
     valid: jnp.ndarray, k_slots: int, decimate: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -192,6 +219,40 @@ def select_slots(
     return jnp.minimum(pos, S - 1), ok, scale
 
 
+def select_slots_grouped(
+    live_per_group: jnp.ndarray, group_size: int, k_slots: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample-granular slot selection when the live mask is *group
+    structured*: group g contributes its first ``live_per_group[r, g]``
+    samples (0 <= that <= group_size). This is exactly the strided-probe
+    march's structure (occupancy constant per probe group; the in-t-range
+    samples are a prefix), so exact sample-rank selection runs on (R, G)
+    arrays — ``group_size``-fold cheaper than materializing (R, S).
+
+    Returns (pos, ok, scale) like :func:`select_slots`, with positions in
+    sample units (group * group_size + offset).
+    """
+    R, G = live_per_group.shape
+    c = jnp.cumsum(live_per_group, axis=1)  # (R, G) inclusive sample counts
+    count = c[:, -1:]
+    j = jnp.arange(k_slots, dtype=jnp.int32)[None, :]
+    stride = jnp.maximum((count + k_slots - 1) // k_slots, 1)
+    tgt = j * stride + 1  # sample-rank targets (R, K)
+    ok = tgt <= count
+    scale = jnp.clip(count - j * stride, 0, stride)
+    # group holding the rank-tgt live sample = #groups fully before it
+    gidx = jnp.sum(
+        c[:, :, None] < tgt[:, None, :], axis=1, dtype=jnp.int32
+    )  # (R, K)
+    gidx = jnp.minimum(gidx, G - 1)
+    cum_before = jnp.where(
+        gidx > 0, gather_rows_dense(c, jnp.maximum(gidx - 1, 0)), 0
+    )
+    offset = tgt - 1 - cum_before  # rank within the group's live prefix
+    pos = gidx * group_size + jnp.clip(offset, 0, group_size - 1)
+    return pos, ok, scale
+
+
 def gather_rows_dense(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``vals[r, idx[r, j]]`` per row via a one-hot reduce (no gather).
 
@@ -225,7 +286,6 @@ def march_rays(
     max_samples_per_ray: int = 1024,
     slots_per_ray: int = 64,
     coarse_stride: int = 1,
-    chunk_level_select: bool = False,
     dt_max: float = MAX_DIST,
 ) -> RaySegments:
     """Grid-accelerated marching into a dense (n_rays, K) slot layout.
@@ -236,87 +296,53 @@ def march_rays(
     Choose C such that ``C * render_step_size <= min voxel extent`` so the
     dilated test cannot miss an occupied voxel.
 
-    ``chunk_level_select`` (opt-in) additionally runs slot selection at
-    chunk granularity (C-fold cheaper rank search) — but then decimation
-    strides whole chunks, and C consecutive samples carry ~C-fold less
-    spatial information per ray, which measurably hurts training whenever
-    rays have more live samples than ``K`` (procedural benchmark: 28.8 vs
-    33.6 PSNR at C=8, K=32). Leave it off unless slots are plentiful
-    (K >> live samples, e.g. eval).
+    With C > 1 the live mask is *group structured* (occupancy constant per
+    probe group; the in-t-range samples of a group are a closed-form
+    prefix), so exact sample-granular slot selection runs on (R, S/C)
+    arrays via :func:`select_slots_grouped` — the sample sets match the
+    C=1 path exactly up to dilation positives, which the per-slot exact
+    re-check removes.
     """
     n_rays = rays_o.shape[0]
     S, K, C = max_samples_per_ray, slots_per_ray, coarse_stride
     assert K <= S and S % max(C, 1) == 0
 
-    if grid is not None and C > 1 and K % C == 0 and chunk_level_select:
-        # Chunk-level fast path. The coarse occupancy mask is constant
-        # across each C-candidate chunk, so selecting the first K live
-        # *samples* is identical to selecting the first K/C live *chunks*
-        # and expanding — but the cumsum/rank-search shrinks C-fold.
-        # (Partial chunks at t_max and dilation positives are trimmed by
-        # the exact per-slot re-checks below.)
-        nch = S // C
-        kc = jnp.arange(nch, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
+    if grid is not None and C > 1:
+        G = S // C
+        kc = jnp.arange(G, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
         t_probe = _lattice_t(
             t_min[:, None], kc, render_step_size, cone_angle, dt_max
         )
-        # chunks straddling t_max: probe inside the live range (the scene
+        # groups straddling t_max: probe inside the live range (the scene
         # box ends there — a probe beyond it would read "empty"); stays
         # within the dilation radius of every live sample as long as
         # C * step <= min voxel extent.
         t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
         xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
-        occ = grid.query_occ_fast(xyz, dilated=True)  # (R, nch)
-        # a chunk is live if occupied and its first candidate is in range
-        t_first = _lattice_t(
-            t_min[:, None],
-            jnp.arange(nch, dtype=jnp.float32)[None, :] * C + 0.5,
-            render_step_size, cone_angle, dt_max,
+        occ = grid.query_occ_fast(xyz, dilated=True)  # (R, G)
+        # candidates in t-range: t_mid(k) < t_max  <=>  k < k_of(t_max)-1/2
+        k_in = jnp.clip(
+            jnp.ceil(
+                _lattice_k(t_min, t_max, render_step_size, cone_angle, dt_max)
+                - 0.5
+            ),
+            0,
+            S,
+        ).astype(jnp.int32)  # (R,)
+        in_range_g = jnp.clip(
+            k_in[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :] * C, 0, C
         )
-        chunk_valid = occ & (t_first < t_max[:, None])
-        pos_c, ok_c, scale_c = select_slots(chunk_valid, K // C)  # (R, K/C)
-        offs = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-        pos = (pos_c[:, :, None] * C + offs).reshape(n_rays, K)
-        ok = jnp.repeat(ok_c, C, axis=1)
-        scale = jnp.repeat(scale_c, C, axis=1)
-        # per-sample t-range trim (chunks may straddle t_max)
-        t_mid_sel = _lattice_t(
-            t_min[:, None], pos.astype(jnp.float32) + 0.5,
-            render_step_size, cone_angle, dt_max,
-        )
-        ok = ok & (t_mid_sel < t_max[:, None])
+        live_g = jnp.where(occ, in_range_g, 0)
+        pos, ok, scale = select_slots_grouped(live_g, C, K)
     else:
         k = jnp.arange(S, dtype=jnp.float32)[None, :]
         t_mid = _lattice_t(
             t_min[:, None], k + 0.5, render_step_size, cone_angle, dt_max
         )
         valid = t_mid < t_max[:, None]
-
         if grid is not None:
-            if C > 1:
-                # coarse: dilated grid at each chunk's center candidate
-                kc = (
-                    jnp.arange(S // C, dtype=jnp.float32)[None, :] * C
-                    + (C - 1) / 2.0
-                    + 0.5
-                )
-                t_probe = _lattice_t(
-                    t_min[:, None], kc, render_step_size, cone_angle, dt_max
-                )
-                # probe inside the live range (see chunk path above)
-                t_probe = jnp.minimum(
-                    t_probe, t_max[:, None] - 0.5 * render_step_size
-                )
-                xyz = (
-                    rays_o[:, None, :]
-                    + t_probe[..., None] * rays_d[:, None, :]
-                )
-                occ = grid.query_occ_fast(xyz, dilated=True)  # (R, S/C)
-                valid = valid & jnp.repeat(occ, C, axis=1)
-            else:
-                xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-                valid = valid & grid.query_occ_fast(xyz)
-
+            xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+            valid = valid & grid.query_occ_fast(xyz)
         pos, ok, scale = select_slots(valid, K)  # (R, K)
     t_starts = _lattice_t(
         t_min[:, None], pos.astype(jnp.float32), render_step_size, cone_angle, dt_max

@@ -121,7 +121,6 @@ def render_rays(
     samples_budget=None,
     visible_samples_budget=None,
     coarse_stride=1,
-    chunk_level_select=False,
     prefilter_sigma=True,
     dt_max=1e10,
 ):
@@ -155,7 +154,6 @@ def render_rays(
         max_samples_per_ray=S,
         slots_per_ray=K,
         coarse_stride=coarse_stride if grid is not None else 1,
-        chunk_level_select=chunk_level_select,
         dt_max=dt_max,
     )
 

@@ -150,10 +150,10 @@ def test_visible_samples_budget_recompacts():
 
 
 def test_chunk_level_march_matches_sample_level():
-    """With a uniform grid (dilated == exact) and enough slots (no
-    decimation), the chunk-level fast path (coarse_stride > 1, K % C == 0)
-    emits exactly the same samples as the exact sample-level path. (Under
-    decimation the two use different — both valid — strided subsets.)"""
+    """With a uniform grid (dilated == exact) the grouped coarse path
+    (coarse_stride > 1) emits exactly the same samples as the exact
+    per-sample path — including under decimation (the grouped rank search
+    is sample-granular)."""
     from nerfacc_tpu.ray_marching import march_rays
     from nerfacc_tpu.intersection import ray_aabb_intersect
 
@@ -161,12 +161,17 @@ def test_chunk_level_march_matches_sample_level():
     grid = create_grid([0, 0, 0, 1, 1, 1], resolution=16, occupied=True)
     aabb = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
     t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb)
-    a = march_rays(rays_o, rays_d, t_min, t_max, grid,
-                   render_step_size=1e-2, max_samples_per_ray=256,
-                   slots_per_ray=192, coarse_stride=8)
-    b = march_rays(rays_o, rays_d, t_min, t_max, grid,
-                   render_step_size=1e-2, max_samples_per_ray=256,
-                   slots_per_ray=192, coarse_stride=1)
+    for K in (192, 32):
+        a = march_rays(rays_o, rays_d, t_min, t_max, grid,
+                       render_step_size=1e-2, max_samples_per_ray=256,
+                       slots_per_ray=K, coarse_stride=8)
+        b = march_rays(rays_o, rays_d, t_min, t_max, grid,
+                       render_step_size=1e-2, max_samples_per_ray=256,
+                       slots_per_ray=K, coarse_stride=1)
+        _assert_same(a, b)
+
+
+def _assert_same(a, b):
     ma, mb = np.asarray(a.masks), np.asarray(b.masks)
     assert ma.any()
     np.testing.assert_array_equal(ma, mb)
@@ -176,3 +181,15 @@ def test_chunk_level_march_matches_sample_level():
     np.testing.assert_allclose(
         np.asarray(a.deltas)[ma], np.asarray(b.deltas)[mb], rtol=1e-5
     )
+
+
+def test_lattice_k_inverts_lattice_t():
+    from nerfacc_tpu.ray_marching import _lattice_k, _lattice_t
+
+    t_min = jnp.asarray([0.3, 1.0, 2.5])
+    k = jnp.asarray([[0.0, 3.7, 45.2, 300.0]] * 3)
+    for cone in (0.0, 0.04):
+        t = _lattice_t(t_min[:, None], k, 1e-2, cone, dt_max=5.0)
+        k_back = _lattice_k(t_min[:, None], t, 1e-2, cone, dt_max=5.0)
+        np.testing.assert_allclose(np.asarray(k_back), np.asarray(k),
+                                   rtol=1e-4, atol=1e-3)
