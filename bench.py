@@ -62,6 +62,9 @@ def main():
         max_samples_per_ray=1024,
         samples_budget=samples_budget,
         coarse_stride=8,
+        # ~60% of rays hit the half-occupied cube; drop the rest before any
+        # per-sample work and re-spread the budget over hitting rays
+        compact_rays_fraction=0.75,
     )
 
     @jax.jit

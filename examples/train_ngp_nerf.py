@@ -75,6 +75,13 @@ def main():
         "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
     )
     p.add_argument(
+        "--compact_rays", type=float, default=0.0,
+        help="if > 0, drop rays that hit no occupancy before per-sample "
+        "work and re-spread the sample budget over this fraction of the "
+        "batch (size it above the scene's hit rate; overflow rays render "
+        "as background with no gradient)",
+    )
+    p.add_argument(
         "--coarse_stride", type=int, default=8,
         help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
         "dilated grid every C-th candidate and selects chunk-level - "
@@ -136,6 +143,7 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
+        compact_rays_fraction=args.compact_rays or None,
         visible_samples_budget=args.visible_samples_budget,
     )
 

@@ -275,6 +275,52 @@ def gather_rows_dense(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(onehot, vals[:, None, :], zero), axis=2)
 
 
+def probe_live_groups(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_min: jnp.ndarray,
+    t_max: jnp.ndarray,
+    grid: OccupancyGrid,
+    render_step_size: float,
+    cone_angle: float = 0.0,
+    max_samples_per_ray: int = 1024,
+    coarse_stride: int = 8,
+    dt_max: float = MAX_DIST,
+) -> jnp.ndarray:
+    """Live-candidate counts per probe group: (n_rays, S/C) int32.
+
+    One dilated-grid lookup per group at its center candidate; the
+    in-t-range candidates of a group are a closed-form prefix (via the
+    lattice inverse). ``sum(axis=1)`` gives per-ray live-candidate counts
+    — usable for empty-ray compaction before any per-sample work.
+    """
+    S, C = max_samples_per_ray, coarse_stride
+    G = S // C
+    kc = jnp.arange(G, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
+    t_probe = _lattice_t(
+        t_min[:, None], kc, render_step_size, cone_angle, dt_max
+    )
+    # groups straddling t_max: probe inside the live range (the scene box
+    # ends there — a probe beyond it would read "empty"); stays within the
+    # dilation radius of every live sample while C * step <= min voxel.
+    t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
+    xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
+    occ = grid.query_occ_fast(xyz, dilated=True)  # (R, G)
+    # candidates in t-range: t_mid(k) < t_max  <=>  k < k_of(t_max) - 1/2
+    k_in = jnp.clip(
+        jnp.ceil(
+            _lattice_k(t_min, t_max, render_step_size, cone_angle, dt_max)
+            - 0.5
+        ),
+        0,
+        S,
+    ).astype(jnp.int32)  # (R,)
+    in_range_g = jnp.clip(
+        k_in[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :] * C, 0, C
+    )
+    return jnp.where(occ, in_range_g, 0)
+
+
 def march_rays(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -287,8 +333,13 @@ def march_rays(
     slots_per_ray: int = 64,
     coarse_stride: int = 1,
     dt_max: float = MAX_DIST,
+    live_groups: Optional[jnp.ndarray] = None,
 ) -> RaySegments:
     """Grid-accelerated marching into a dense (n_rays, K) slot layout.
+
+    ``live_groups`` optionally supplies precomputed
+    :func:`probe_live_groups` output (e.g. after empty-ray compaction) so
+    the probes are not re-evaluated.
 
     ``coarse_stride`` > 1 tests occupancy every C-th candidate against the
     1-voxel-dilated grid (recall 1, some extra positives), then re-checks
@@ -308,31 +359,13 @@ def march_rays(
     assert K <= S and S % max(C, 1) == 0
 
     if grid is not None and C > 1:
-        G = S // C
-        kc = jnp.arange(G, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
-        t_probe = _lattice_t(
-            t_min[:, None], kc, render_step_size, cone_angle, dt_max
-        )
-        # groups straddling t_max: probe inside the live range (the scene
-        # box ends there — a probe beyond it would read "empty"); stays
-        # within the dilation radius of every live sample as long as
-        # C * step <= min voxel extent.
-        t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
-        xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
-        occ = grid.query_occ_fast(xyz, dilated=True)  # (R, G)
-        # candidates in t-range: t_mid(k) < t_max  <=>  k < k_of(t_max)-1/2
-        k_in = jnp.clip(
-            jnp.ceil(
-                _lattice_k(t_min, t_max, render_step_size, cone_angle, dt_max)
-                - 0.5
-            ),
-            0,
-            S,
-        ).astype(jnp.int32)  # (R,)
-        in_range_g = jnp.clip(
-            k_in[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :] * C, 0, C
-        )
-        live_g = jnp.where(occ, in_range_g, 0)
+        live_g = live_groups
+        if live_g is None:
+            live_g = probe_live_groups(
+                rays_o, rays_d, t_min, t_max, grid,
+                render_step_size=render_step_size, cone_angle=cone_angle,
+                max_samples_per_ray=S, coarse_stride=C, dt_max=dt_max,
+            )
         pos, ok, scale = select_slots_grouped(live_g, C, K)
     else:
         k = jnp.arange(S, dtype=jnp.float32)[None, :]

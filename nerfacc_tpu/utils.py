@@ -21,6 +21,7 @@ from .ray_marching import (
     _resolve_t_range,
     gather_rows_dense,
     march_rays,
+    probe_live_groups,
     select_slots,
     RaySegments,
 )
@@ -121,6 +122,7 @@ def render_rays(
     samples_budget=None,
     visible_samples_budget=None,
     coarse_stride=1,
+    compact_rays_fraction=None,
     prefilter_sigma=True,
     dt_max=1e10,
 ):
@@ -135,6 +137,14 @@ def render_rays(
     enables the reference's 2-stage cheap-cull-then-render trick
     (``utils.py:86-106``) — worth it when culling shrinks the grad-tracked
     pass more than one extra density pass costs.
+
+    ``compact_rays_fraction`` (needs ``grid`` and ``coarse_stride > 1``):
+    rays whose probe count is zero produce pure background; drop them
+    before any per-sample work and re-spread the sample budget over the
+    ``H = fraction * n_rays`` rays that hit occupancy (the reference gets
+    this for free from exact packing). Output rays beyond ``H`` hits in a
+    batch fall back to background (no gradient) — size the fraction above
+    the scene's hit rate.
     """
     n_rays = rays_o.shape[0]
     if stratified and key is None:
@@ -144,6 +154,33 @@ def render_rays(
         stratified, key, render_step_size,
     )
     S = max_samples_per_ray
+
+    live_groups = None
+    ray_sel = None  # (indices, valid) of compacted rays
+    n_out = n_rays
+    if (
+        compact_rays_fraction is not None
+        and grid is not None
+        and coarse_stride > 1
+    ):
+        live_g = probe_live_groups(
+            rays_o, rays_d, t_min, t_max, grid,
+            render_step_size=render_step_size, cone_angle=cone_angle,
+            max_samples_per_ray=S, coarse_stride=coarse_stride,
+            dt_max=dt_max,
+        )
+        hit = live_g.sum(axis=1) > 0  # (R,)
+        H = max(1, int(round(n_rays * compact_rays_fraction)))
+        posr, okr, _ = select_slots(hit[None, :], H, decimate=False)
+        ridx, ray_ok = posr[0], okr[0]
+        ray_sel = (ridx, ray_ok)
+        rays_o, rays_d = rays_o[ridx], rays_d[ridx]
+        t_min, t_max = t_min[ridx], t_max[ridx]
+        live_groups = live_g[ridx]  # 128-lane row gather (fast path)
+        if timestamps is not None:
+            timestamps = timestamps[ridx]
+        n_rays = H
+
     K = S if samples_budget is None else min(
         S, max(1, -(-samples_budget // n_rays))
     )
@@ -155,7 +192,10 @@ def render_rays(
         slots_per_ray=K,
         coarse_stride=coarse_stride if grid is not None else 1,
         dt_max=dt_max,
+        live_groups=live_groups,
     )
+    if ray_sel is not None:
+        segs = segs._replace(masks=segs.masks & ray_sel[1][:, None])
 
     two_stage = prefilter_sigma and visible_samples_budget is not None
     if two_stage:
@@ -214,6 +254,30 @@ def render_rays(
     )
     if render_bkgd is not None:
         colors = colors + render_bkgd * (1.0 - opacities)
+
+    if ray_sel is not None:
+        # expand back to the full ray batch: non-hit rays are pure
+        # background with zero opacity/depth — exactly what a full render
+        # would produce for rays with no live samples.
+        ridx, ray_ok = ray_sel
+        dest = jnp.where(ray_ok, ridx, n_out)  # invalid -> drop slot
+
+        def expand(vals, fill):
+            buf = jnp.full((n_out + 1,) + vals.shape[1:], fill, vals.dtype)
+            return buf.at[dest].set(vals, mode="drop")[:n_out]
+
+        bg = (
+            jnp.broadcast_to(jnp.asarray(render_bkgd, colors.dtype), (3,))
+            if render_bkgd is not None
+            else jnp.zeros((3,), colors.dtype)
+        )
+        colors = (
+            jnp.tile(bg[None], (n_out + 1, 1))
+            .at[dest]
+            .set(colors, mode="drop")[:n_out]
+        )
+        opacities = expand(opacities, 0.0)
+        depths = expand(depths, 0.0)
     return colors, opacities, depths, masks.sum()
 
 

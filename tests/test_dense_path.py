@@ -320,3 +320,60 @@ def test_render_image_matches_render_rays():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-4)
+
+
+def test_compact_rays_matches_full_render():
+    """Empty-ray compaction (hit-test -> render only hitting rays ->
+    expand) produces the same image as the full render when the hit
+    budget is sufficient; gradients flow to the field either way."""
+    from nerfacc_tpu.models import TensoCPRadianceField
+    from nerfacc_tpu.utils import render_rays
+
+    rng = np.random.RandomState(2)
+    n = 64
+    rays_o = jnp.asarray(rng.rand(n, 3) * 3 - 1.5, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-1.0] * 3 + [1.0] * 3)
+
+    field = TensoCPRadianceField(aabb=(-1.0,) * 3 + (1.0,) * 3, levels=((16, 8),))
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3)))
+    # half-occupied grid so a solid share of rays miss
+    binary = np.zeros((16, 16, 16), bool)
+    binary[4:12, 4:12, 4:12] = True
+    grid = with_binary(
+        create_grid([-1.0] * 3 + [1.0] * 3, resolution=16), jnp.asarray(binary)
+    )
+    # no samples_budget: every ray gets all S slots in both runs, so no
+    # decimation and the outputs must match exactly (a budget would be
+    # re-spread over the compacted rays, changing decimation subsets)
+    kwargs = dict(
+        grid=grid, scene_aabb=aabb, render_step_size=2e-2,
+        max_samples_per_ray=128,
+        coarse_stride=4, render_bkgd=jnp.ones(3),
+    )
+    c_full, o_full, d_full, n_full = render_rays(
+        params, field, rays_o, rays_d, **kwargs
+    )
+    c_cmp, o_cmp, d_cmp, n_cmp = render_rays(
+        params, field, rays_o, rays_d, compact_rays_fraction=0.9, **kwargs
+    )
+    hit = np.asarray(o_full[:, 0]) > 0
+    np.testing.assert_allclose(
+        np.asarray(c_cmp)[hit], np.asarray(c_full)[hit], rtol=1e-4, atol=1e-5
+    )
+    # non-hit rays are exactly background
+    np.testing.assert_allclose(np.asarray(c_cmp)[~hit], 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o_cmp)[~hit], 0.0, atol=1e-7)
+    assert int(n_cmp) >= int(n_full) - 1
+
+    def loss(p, frac):
+        c, _, _, _ = render_rays(
+            params=p, field=field, rays_o=rays_o, rays_d=rays_d,
+            compact_rays_fraction=frac, **kwargs,
+        )
+        return jnp.sum(c ** 2)
+
+    g = jax.grad(lambda p: loss(p, 0.9))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
