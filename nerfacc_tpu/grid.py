@@ -101,11 +101,14 @@ class OccupancyGrid:
     roi_aabb: jnp.ndarray
     occs: jnp.ndarray
     binary: jnp.ndarray
-    # bit-packed copies of `binary` (and its 1-voxel dilation) for the fast
-    # row-gather lookup path (see nerfacc_tpu.lookup); kept in sync by
-    # create_grid / update_grid / with_binary.
+    # bit-packed copies of `binary` (and its 1- and 2-voxel dilations) for
+    # the fast row-gather lookup path (see nerfacc_tpu.lookup); kept in sync
+    # by create_grid / update_grid / with_binary. The radius-2 table lets
+    # marchers double the probe stride (C*dt/2 <= 2 voxels) at half the
+    # lookup volume.
     bits: jnp.ndarray
     bits_dilated: jnp.ndarray
+    bits_dilated2: jnp.ndarray
     resolution: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     contraction_type: ContractionType = flax.struct.field(pytree_node=False)
 
@@ -123,12 +126,13 @@ class OccupancyGrid:
         )
 
     def query_occ_fast(
-        self, samples: jnp.ndarray, dilated: bool = False
+        self, samples: jnp.ndarray, dilated: int = 0
     ) -> jnp.ndarray:
         """Occupancy at world-space points via the bit-table fast path.
 
         Semantics match :func:`query_grid` on the binary grid; ~10x faster
         on TPU for large batches (row gather vs per-element gather).
+        ``dilated`` selects the dilation radius (0 exact, 1, or 2).
         """
         res = jnp.asarray(self.resolution, dtype=jnp.int32)
         unit = contract(samples, self.roi_aabb, self.contraction_type)
@@ -138,7 +142,8 @@ class OccupancyGrid:
             + ixyz[..., 1] * res[2]
             + ixyz[..., 2]
         )
-        vals = bit_lookup(self.bits_dilated if dilated else self.bits, flat)
+        table = (self.bits, self.bits_dilated, self.bits_dilated2)[int(dilated)]
+        vals = bit_lookup(table, flat)
         if self.contraction_type == ContractionType.AABB:
             inside = jnp.all(
                 (samples >= self.roi_aabb[:3]) & (samples <= self.roi_aabb[3:]),
@@ -155,10 +160,12 @@ Grid = OccupancyGrid
 def with_binary(grid: OccupancyGrid, binary: jnp.ndarray) -> OccupancyGrid:
     """Replace the binary mask, keeping the packed bit-tables in sync."""
     binary = binary.astype(bool)
+    d1 = dilate_binary(binary)
     return grid.replace(
         binary=binary,
         bits=pack_bits(binary),
-        bits_dilated=pack_bits(dilate_binary(binary)),
+        bits_dilated=pack_bits(d1),
+        bits_dilated2=pack_bits(dilate_binary(d1)),
     )
 
 
@@ -181,12 +188,14 @@ def create_grid(
     assert roi_aabb.shape == (6,), f"Invalid shape: {roi_aabb.shape}"
     nc = int(np.prod(resolution))
     binary = jnp.full(resolution, occupied, dtype=bool)
+    bits = pack_bits(binary)
     return OccupancyGrid(
         roi_aabb=roi_aabb,
         occs=jnp.zeros((nc,), dtype=jnp.float32),
         binary=binary,
-        bits=pack_bits(binary),
-        bits_dilated=pack_bits(binary),  # dilation of all-const == itself
+        bits=bits,
+        bits_dilated=bits,  # dilation of all-const == itself
+        bits_dilated2=bits,
         resolution=resolution,
         contraction_type=contraction_type,
     )
@@ -280,11 +289,13 @@ def update_grid(
 
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     binary = (occs > thre).reshape(grid.binary.shape)
+    d1 = dilate_binary(binary)
     return grid.replace(
         occs=occs,
         binary=binary,
         bits=pack_bits(binary),
-        bits_dilated=pack_bits(dilate_binary(binary)),
+        bits_dilated=pack_bits(d1),
+        bits_dilated2=pack_bits(dilate_binary(d1)),
     )
 
 

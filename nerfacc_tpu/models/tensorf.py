@@ -86,9 +86,11 @@ class CPLevel(nn.Module):
         feats = None
         for axis in range(3):
             basis = hat_basis(x[:, axis], self.grid_size).astype(jnp.bfloat16)
+            # bf16 end to end: features feed bf16 heads anyway, and the f32
+            # (B, R) intermediates were ~15% of the train step's time
             u = jnp.dot(
                 basis, tables[axis].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.bfloat16,
             )
             feats = u if feats is None else feats * u
         return feats

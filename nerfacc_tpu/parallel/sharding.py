@@ -145,9 +145,11 @@ def update_grid_distributed(
     binary = (
         occs > jnp.minimum(jnp.mean(occs), kwargs.get("occ_thre", 1e-2))
     ).reshape(grid.binary.shape)
+    d1 = dilate_binary(binary)
     return grid.replace(
         occs=occs,
         binary=binary,
         bits=pack_bits(binary),
-        bits_dilated=pack_bits(dilate_binary(binary)),
+        bits_dilated=pack_bits(d1),
+        bits_dilated2=pack_bits(dilate_binary(d1)),
     )

@@ -286,6 +286,7 @@ def probe_live_groups(
     max_samples_per_ray: int = 1024,
     coarse_stride: int = 8,
     dt_max: float = MAX_DIST,
+    probe_dilation: int = 1,
 ) -> jnp.ndarray:
     """Live-candidate counts per probe group: (n_rays, S/C) int32.
 
@@ -293,6 +294,9 @@ def probe_live_groups(
     in-t-range candidates of a group are a closed-form prefix (via the
     lattice inverse). ``sum(axis=1)`` gives per-ray live-candidate counts
     — usable for empty-ray compaction before any per-sample work.
+
+    ``probe_dilation`` is the dilation radius (1 or 2) of the probed
+    table; stride validity requires ``C * step / 2 <= radius * voxel``.
     """
     S, C = max_samples_per_ray, coarse_stride
     G = S // C
@@ -305,7 +309,7 @@ def probe_live_groups(
     # dilation radius of every live sample while C * step <= min voxel.
     t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
     xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
-    occ = grid.query_occ_fast(xyz, dilated=True)  # (R, G)
+    occ = grid.query_occ_fast(xyz, dilated=probe_dilation)  # (R, G)
     # candidates in t-range: t_mid(k) < t_max  <=>  k < k_of(t_max) - 1/2
     k_in = jnp.clip(
         jnp.ceil(
@@ -334,6 +338,7 @@ def march_rays(
     coarse_stride: int = 1,
     dt_max: float = MAX_DIST,
     live_groups: Optional[jnp.ndarray] = None,
+    probe_dilation: int = 1,
 ) -> RaySegments:
     """Grid-accelerated marching into a dense (n_rays, K) slot layout.
 
@@ -365,6 +370,7 @@ def march_rays(
                 rays_o, rays_d, t_min, t_max, grid,
                 render_step_size=render_step_size, cone_angle=cone_angle,
                 max_samples_per_ray=S, coarse_stride=C, dt_max=dt_max,
+                probe_dilation=probe_dilation,
             )
         pos, ok, scale = select_slots_grouped(live_g, C, K)
     else:

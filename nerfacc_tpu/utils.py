@@ -122,6 +122,7 @@ def render_rays(
     samples_budget=None,
     visible_samples_budget=None,
     coarse_stride=1,
+    probe_dilation=1,
     compact_rays_fraction=None,
     prefilter_sigma=True,
     dt_max=1e10,
@@ -167,7 +168,7 @@ def render_rays(
             rays_o, rays_d, t_min, t_max, grid,
             render_step_size=render_step_size, cone_angle=cone_angle,
             max_samples_per_ray=S, coarse_stride=coarse_stride,
-            dt_max=dt_max,
+            dt_max=dt_max, probe_dilation=probe_dilation,
         )
         hit = live_g.sum(axis=1) > 0  # (R,)
         H = max(1, int(round(n_rays * compact_rays_fraction)))
@@ -193,6 +194,7 @@ def render_rays(
         coarse_stride=coarse_stride if grid is not None else 1,
         dt_max=dt_max,
         live_groups=live_groups,
+        probe_dilation=probe_dilation,
     )
     if ray_sel is not None:
         segs = segs._replace(masks=segs.masks & ray_sel[1][:, None])
