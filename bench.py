@@ -61,7 +61,8 @@ def main():
         render_step_size=5e-3,
         max_samples_per_ray=1024,
         samples_budget=samples_budget,
-        coarse_stride=8,
+        coarse_stride=16,
+        probe_dilation=2,  # C*dt/2 = 0.04 <= 2 voxels (0.047)
         # ~60% of rays hit the half-occupied cube; drop the rest before any
         # per-sample work and re-spread the budget over hitting rays
         compact_rays_fraction=0.75,

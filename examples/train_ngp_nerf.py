@@ -82,6 +82,11 @@ def main():
         "as background with no gradient)",
     )
     p.add_argument(
+        "--probe_dilation", type=int, default=2,
+        help="dilation radius of the probed occupancy table; stride "
+        "validity needs coarse_stride * step / 2 <= radius * voxel",
+    )
+    p.add_argument(
         "--coarse_stride", type=int, default=8,
         help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
         "dilated grid every C-th candidate and selects chunk-level - "
@@ -143,6 +148,7 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
+        probe_dilation=args.probe_dilation,
         compact_rays_fraction=args.compact_rays or None,
         visible_samples_budget=args.visible_samples_budget,
     )
