@@ -39,7 +39,7 @@ def main():
     from nerfacc_tpu.utils import render_rays
 
     n_rays = 16384
-    samples_budget = 1 << 19
+    samples_budget = 16384 * 48  # K=48 slots/ray pre-compaction
     aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
 
     # flagship NGP-class field (the reference's headline workload is the
