@@ -193,3 +193,48 @@ def test_lattice_k_inverts_lattice_t():
         k_back = _lattice_k(t_min[:, None], t, 1e-2, cone, dt_max=5.0)
         np.testing.assert_allclose(np.asarray(k_back), np.asarray(k),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_cone_march_with_grid_grouped():
+    """Cone-angle marching through the grouped coarse path matches the
+    exact per-sample path (uniform grid; in-range prefix counts come from
+    the lattice inverse)."""
+    from nerfacc_tpu.ray_marching import march_rays
+
+    rays_o = jnp.zeros((4, 3)).at[:, 0].set(jnp.arange(4) * 0.1)
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (4, 1))
+    grid = create_grid([0, 0, 0, 60, 1, 1], resolution=(64, 8, 8),
+                       occupied=True)
+    t_min = jnp.full((4,), 0.5)
+    t_max = jnp.full((4,), 50.0)
+    a = march_rays(rays_o + jnp.asarray([0.0, 0.5, 0.5]), rays_d,
+                   t_min, t_max, grid, render_step_size=1e-2,
+                   cone_angle=0.04, max_samples_per_ray=256,
+                   slots_per_ray=64, coarse_stride=8, dt_max=2.0,
+                   probe_dilation=2)
+    b = march_rays(rays_o + jnp.asarray([0.0, 0.5, 0.5]), rays_d,
+                   t_min, t_max, grid, render_step_size=1e-2,
+                   cone_angle=0.04, max_samples_per_ray=256,
+                   slots_per_ray=64, coarse_stride=1, dt_max=2.0)
+    ma, mb = np.asarray(a.masks), np.asarray(b.masks)
+    assert ma.any()
+    np.testing.assert_array_equal(ma, mb)
+    np.testing.assert_allclose(
+        np.asarray(a.t_starts)[ma], np.asarray(b.t_starts)[mb], rtol=1e-4
+    )
+
+
+def test_probe_dilation_tables():
+    """Radius-2 probes see occupancy within 2 voxels; radius-1 within 1."""
+    binary = np.zeros((16, 16, 16), bool)
+    binary[8, 8, 8] = True
+    grid = with_binary(create_grid([0, 0, 0, 1, 1, 1], resolution=16),
+                       jnp.asarray(binary))
+    # centers of cells at various distances from (8,8,8)
+    def center(i):
+        return jnp.asarray([[(i + 0.5) / 16, 8.5 / 16, 8.5 / 16]])
+    for d, want1, want2 in [(8, True, True), (7, True, True),
+                            (6, False, True), (5, False, False)]:
+        v1 = bool(grid.query_occ_fast(center(d), dilated=1)[0])
+        v2 = bool(grid.query_occ_fast(center(d), dilated=2)[0])
+        assert v1 == want1 and v2 == want2, (d, v1, v2)
