@@ -55,6 +55,8 @@ def main():
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--test_chunk_size", type=int, default=8192)
     p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--train_views", type=int, default=24)
+    p.add_argument("--lr_decay", action="store_true", help="cosine lr decay to 0.1x over max_steps")
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
     p.add_argument(
@@ -95,7 +97,10 @@ def main():
     args = p.parse_args()
 
     if args.scene == "procedural":
-        scene = ProceduralScene(width=args.image_size, height=args.image_size)
+        scene = ProceduralScene(
+            n_views=args.train_views,
+            width=args.image_size, height=args.image_size,
+        )
     else:
         from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
 
@@ -135,7 +140,11 @@ def main():
 
     grid = create_grid(aabb, resolution=grid_res, contraction_type=contraction)
 
-    optimizer = optax.adam(args.lr, eps=1e-15)
+    if args.lr_decay:
+        sched = optax.cosine_decay_schedule(args.lr, args.max_steps, 0.1)
+        optimizer = optax.adam(sched, eps=1e-15)
+    else:
+        optimizer = optax.adam(args.lr, eps=1e-15)
     opt_state = optimizer.init(params)
 
     render_kwargs = dict(

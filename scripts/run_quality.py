@@ -19,20 +19,22 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 
+_TENSORF_BASE = [
+    "examples/train_ngp_nerf.py", "--model", "tensorf",
+    "--num_rays", "8192", "--image_size", "128",
+    "--grid_resolution", "128", "--samples_budget", "393216",
+    "--visible_samples_budget", "196608",
+    "--test_chunk_size", "4096", "--eval_views", "3",
+]
+
 CONFIGS = {
-    "tensorf_1k": [
-        "examples/train_ngp_nerf.py", "--model", "tensorf",
-        "--max_steps", "1000", "--num_rays", "8192",
-        "--image_size", "128", "--grid_resolution", "128",
-        "--samples_budget", "262144", "--visible_samples_budget", "131072",
-        "--test_chunk_size", "4096", "--eval_views", "3",
-    ],
-    "tensorf_4k": [
-        "examples/train_ngp_nerf.py", "--model", "tensorf",
-        "--max_steps", "4000", "--num_rays", "8192",
-        "--image_size", "128", "--grid_resolution", "128",
-        "--samples_budget", "262144", "--visible_samples_budget", "131072",
-        "--test_chunk_size", "4096", "--eval_views", "3",
+    "tensorf_1k": _TENSORF_BASE + ["--max_steps", "1000"],
+    "tensorf_1k_compact": _TENSORF_BASE
+    + ["--max_steps", "1000", "--compact_rays", "0.9"],
+    "tensorf_10k_64views": _TENSORF_BASE
+    + [
+        "--max_steps", "10000", "--compact_rays", "0.9",
+        "--train_views", "64", "--lr_decay", "--eval_views", "4",
     ],
     "vanilla_2k": [
         "examples/train_mlp_nerf.py",
@@ -40,6 +42,13 @@ CONFIGS = {
         "--image_size", "128", "--grid_resolution", "128",
         "--samples_budget", "131072",
         "--test_chunk_size", "4096", "--eval_views", "3",
+    ],
+    "dnerf_2k": [
+        "examples/train_mlp_dnerf.py",
+        "--max_steps", "2000", "--num_rays", "2048",
+        "--image_size", "96", "--grid_resolution", "96",
+        "--samples_budget", "65536",
+        "--test_chunk_size", "2048", "--eval_views", "2",
     ],
 }
 
