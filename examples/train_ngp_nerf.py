@@ -60,6 +60,11 @@ def main():
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
     p.add_argument(
+        "--auto_aabb", action="store_true",
+        help="infer the scene aabb from the camera positions "
+        "(reference train_ngp_nerf.py:125-132)",
+    )
+    p.add_argument(
         "--ckpt_dir", type=str, default=None,
         help="orbax checkpoint directory; saves every --ckpt_every steps "
         "and resumes from the latest checkpoint if one exists",
@@ -107,7 +112,17 @@ def main():
         scene = SubjectLoader(
             subject_id=args.scene, root_fp=args.data_root, split="train"
         )
-    aabb = tuple(float(v) for v in np.asarray(scene.aabb))
+    if args.auto_aabb:
+        # reference train_ngp_nerf.py:125-132: bound the scene by the
+        # camera positions
+        cams = np.concatenate(
+            [np.asarray(scene.train_poses)[:, :3, -1],
+             np.asarray(scene.test_poses)[:, :3, -1]]
+        )
+        aabb = tuple(cams.min(0)) + tuple(cams.max(0))
+        print("Using auto aabb", aabb)
+    else:
+        aabb = tuple(float(v) for v in np.asarray(scene.aabb))
     render_bkgd = scene.bkgd
 
     if args.unbounded:
@@ -179,12 +194,32 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, n
 
+    cam_origins = jnp.asarray(np.asarray(scene.train_poses)[:, :3, -1])
+
     @functools.partial(jax.jit, static_argnames=("warmup",))
     def grid_update(params, grid, key, warmup: bool):
         def occ_eval_fn(x):
-            return field.apply(
-                params, x, render_step_size, method=field.query_opacity
+            if cone_angle > 0.0:
+                # couple the occupancy estimate to the cone-marching step
+                # actually used at that distance from a (random) camera
+                # (reference train_ngp_nerf.py:190-213)
+                ids = jax.random.randint(
+                    key, (x.shape[0],), 0, cam_origins.shape[0]
+                )
+                t = jnp.linalg.norm(
+                    cam_origins[ids] - x, axis=-1, keepdims=True
+                )
+                step = jnp.maximum(t * cone_angle, render_step_size)
+                if near_plane is not None and far_plane is not None:
+                    step = jnp.where(
+                        (t > near_plane) & (t < far_plane), step, 0.0
+                    )
+            else:
+                step = render_step_size
+            density = field.apply(
+                params, x, method=field.query_density
             )
+            return density * step
         return update_grid(
             grid, key, step=0 if warmup else 10**9,
             occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
