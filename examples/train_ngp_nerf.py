@@ -56,6 +56,10 @@ def main():
     p.add_argument("--test_chunk_size", type=int, default=8192)
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--train_views", type=int, default=24)
+    p.add_argument(
+        "--levels", type=str, default="128x64,512x128",
+        help="TensoCP level spec: comma-separated GRIDxRANK",
+    )
     p.add_argument("--lr_decay", action="store_true", help="cosine lr decay to 0.1x over max_steps")
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
@@ -145,8 +149,14 @@ def main():
         grid_res = args.grid_resolution
         scene_aabb = jnp.asarray(aabb)
 
+    p_levels = tuple(
+        (int(g), int(r))
+        for g, r in (lv.split("x") for lv in args.levels.split(","))
+    )
     if args.model == "tensorf":
-        field = TensoCPRadianceField(aabb=aabb, unbounded=args.unbounded)
+        field = TensoCPRadianceField(
+            aabb=aabb, unbounded=args.unbounded, levels=p_levels
+        )
     else:
         field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
     key = jax.random.PRNGKey(42)

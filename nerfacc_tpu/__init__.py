@@ -33,8 +33,10 @@ from .ray_marching import (
     RaySegments,
     gather_rows_dense,
     march_rays,
+    probe_live_groups,
     ray_marching,
     select_slots,
+    select_slots_grouped,
 )
 from .version import __version__
 from .vol_rendering import (
@@ -76,6 +78,8 @@ __all__ = [
     "RaySegments",
     "march_rays",
     "select_slots",
+    "select_slots_grouped",
+    "probe_live_groups",
     "gather_rows_dense",
     "accumulate_along_rays_dense",
     "render_visibility_dense",

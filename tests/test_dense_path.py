@@ -377,3 +377,28 @@ def test_compact_rays_matches_full_render():
     g = jax.grad(lambda p: loss(p, 0.9))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_make_field_fns_closure_contract():
+    """The reference's sigma_fn/rgb_sigma_fn closure contract
+    (examples/utils.py:50-76) drives the flat ray_marching path."""
+    from nerfacc_tpu import ray_marching
+    from nerfacc_tpu.models import VanillaNeRFRadianceField
+    from nerfacc_tpu.utils import make_field_fns
+
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(rng.rand(4, 3), jnp.float32)
+    rays_d = jnp.asarray(rng.randn(4, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    field = VanillaNeRFRadianceField(net_depth=2, net_width=16)
+    params = field.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+    sigma_fn, rgb_sigma_fn = make_field_fns(field, params, rays_o, rays_d)
+    out = ray_marching(
+        rays_o, rays_d, near_plane=0.1, far_plane=1.0,
+        render_step_size=0.05, max_samples_per_ray=32,
+        sigma_fn=sigma_fn,
+    )
+    assert np.asarray(out.masks).any()
+    rgbs, sigmas = rgb_sigma_fn(out.t_starts, out.t_ends, out.ray_indices)
+    assert rgbs.shape == (out.t_starts.shape[0], 3)
+    assert np.isfinite(np.asarray(rgbs)).all()
