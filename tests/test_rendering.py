@@ -209,3 +209,59 @@ def test_masked_entries_are_inert():
     )
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
     assert (np.asarray(w1)[~np.asarray(masks)] == 0).all()
+
+
+def test_rendering_rgb_alpha_fn_matches_sigma_fn():
+    """rendering() via the alpha callback equals the density callback when
+    alpha = 1 - exp(-sigma * delta) (both reference contracts,
+    vol_rendering.py:80-109)."""
+    rng = np.random.RandomState(0)
+    n_rays, n = 3, 12
+    ray_indices = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), n // n_rays)
+    t_starts = jnp.asarray(np.sort(rng.rand(n)).reshape(-1, 1), jnp.float32)
+    t_ends = t_starts + 0.05
+    sigmas = jnp.asarray(rng.rand(n, 1) * 5, jnp.float32)
+    rgbs = jnp.asarray(rng.rand(n, 3), jnp.float32)
+
+    def rgb_sigma_fn(ts, te, ri):
+        return rgbs, sigmas
+
+    def rgb_alpha_fn(ts, te, ri):
+        return rgbs, 1.0 - jnp.exp(-sigmas * (te - ts))
+
+    c1, o1, d1 = rendering(
+        t_starts, t_ends, ray_indices, n_rays,
+        rgb_sigma_fn=rgb_sigma_fn, render_bkgd=jnp.ones(3),
+    )
+    c2, o2, d2 = rendering(
+        t_starts, t_ends, ray_indices, n_rays,
+        rgb_alpha_fn=rgb_alpha_fn, render_bkgd=jnp.ones(3),
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+
+
+def test_rendering_dense_rgb_alpha_fn():
+    from nerfacc_tpu import rendering_dense
+
+    rng = np.random.RandomState(1)
+    R, K = 4, 8
+    t_starts = jnp.asarray(np.sort(rng.rand(R, K), axis=1), jnp.float32)
+    t_ends = t_starts + 0.05
+    masks = jnp.asarray(rng.rand(R, K) < 0.8)
+    rgbs = jnp.asarray(rng.rand(R, K, 3), jnp.float32)
+    sigmas = jnp.asarray(rng.rand(R, K) * 5, jnp.float32)
+
+    c1, o1, d1 = rendering_dense(
+        t_starts, t_ends, masks,
+        rgb_sigma_fn=lambda ts, te: (rgbs, sigmas),
+        render_bkgd=jnp.ones(3),
+    )
+    c2, o2, d2 = rendering_dense(
+        t_starts, t_ends, masks,
+        rgb_alpha_fn=lambda ts, te: (rgbs, 1.0 - jnp.exp(-sigmas * (te - ts))),
+        render_bkgd=jnp.ones(3),
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
