@@ -66,16 +66,20 @@ def data_parallel(
     axis: str = "data",
     *,
     batched_args: Sequence[int],
+    n_out: int,
     replicated_out: Sequence[int] = (),
 ):
     """shard_map a per-shard step over ray batches.
 
     Args:
-        step_fn: ``step_fn(*args)``; positional args at indices in
-            ``batched_args`` are sharded on their leading axis, the rest
-            replicated. Inside, ``step_fn`` sees local shards and may use
-            ``jax.lax.psum(..., axis_name=axis)`` (e.g. via
-            :func:`psum_grads`) to combine gradients/metrics.
+        step_fn: ``step_fn(*args) -> tuple of n_out arrays``; positional
+            args at indices in ``batched_args`` are sharded on their
+            leading axis, the rest replicated. Inside, ``step_fn`` sees
+            local shards and may use ``jax.lax.psum(..., axis_name=axis)``
+            (e.g. via :func:`psum_grads`) to combine gradients/metrics.
+        n_out: number of outputs (declared rather than traced — the step
+            may contain collectives, which cannot be shape-evaluated
+            outside the mesh context).
         replicated_out: indices of outputs that are replicated (e.g. psum'd
             grads/losses); the rest are treated as batched (per-ray outputs,
             concatenated on the leading axis).
@@ -83,34 +87,21 @@ def data_parallel(
     Returns:
         A jitted SPMD function with the same signature.
     """
-
-    def in_spec(i):
-        return P(axis) if i in set(batched_args) else P()
-
-    def make_specs(n):
-        return tuple(in_spec(i) for i in range(n))
+    rep = set(replicated_out)
+    out_specs = tuple(
+        P() if i in rep else P(axis) for i in range(n_out)
+    )
 
     def wrapper(*args):
-        in_specs = make_specs(len(args))
-
-        def shard_fn(*local_args):
-            out = step_fn(*local_args)
-            return out
-
-        # determine out specs by calling eval_shape once
-        out_shape = jax.eval_shape(step_fn, *args)
-        flat, treedef = jax.tree_util.tree_flatten(
-            out_shape, is_leaf=lambda x: x is None
-        )
-        rep = set(replicated_out)
-        out_specs = treedef.unflatten(
-            [P() if i in rep else P(axis) for i in range(len(flat))]
+        in_specs = tuple(
+            P(axis) if i in set(batched_args) else P()
+            for i in range(len(args))
         )
         return shard_map(
-            shard_fn,
+            step_fn,
             mesh=mesh,
             in_specs=in_specs,
-            out_specs=out_specs,
+            out_specs=out_specs if n_out > 1 else out_specs[0],
             check_rep=False,
         )(*args)
 

@@ -124,3 +124,24 @@ def test_update_grid_distributed_merges_more_cells():
     np.testing.assert_array_equal(
         np.asarray(merged.bits), np.asarray(pack_bits(merged.binary))
     )
+
+
+def test_data_parallel_wrapper():
+    """The data_parallel helper shards batched args, replicates the rest,
+    and psums inside produce replicated outputs."""
+    from nerfacc_tpu.parallel import data_parallel, make_mesh, psum_grads
+
+    mesh = make_mesh()
+
+    def step(w, x):
+        # per-shard: local "loss grad" then all-reduce
+        local = jnp.sum(x * w)
+        total = psum_grads(local)
+        return total, x * 2.0
+
+    fn = data_parallel(step, mesh, batched_args=(1,), n_out=2, replicated_out=(0,))
+    w = jnp.asarray(2.0)
+    x = jnp.arange(16, dtype=jnp.float32)
+    total, doubled = fn(w, x)
+    np.testing.assert_allclose(float(total), float((x * 2.0).sum()))
+    np.testing.assert_allclose(np.asarray(doubled), np.asarray(x) * 2.0)
