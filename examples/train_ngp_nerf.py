@@ -86,6 +86,11 @@ def main():
         "TPU-native NGP-class default) or 'ngp' (hash grid, API-parity)",
     )
     p.add_argument(
+        "--distortion_loss", type=float, default=0.0,
+        help="weight of the MipNeRF-360 distortion regularizer "
+        "(loss_distortion_dense over the rendered weights)",
+    )
+    p.add_argument(
         "--compact_rays", type=float, default=0.0,
         help="if > 0, drop rays that hit no occupancy before per-sample "
         "work and re-spread the sample budget over this fraction of the "
@@ -190,13 +195,23 @@ def main():
     @jax.jit
     def train_step(params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key):
         def loss_fn(p):
-            colors, opacities, _, n = render_rays(
+            colors, opacities, _, n, extras = render_rays(
                 p, field, rays_o, rays_d, grid=grid,
-                render_bkgd=bkgd, stratified=True, key=key, **render_kwargs,
+                render_bkgd=bkgd, stratified=True, key=key,
+                return_extras=True, **render_kwargs,
             )
             alive = (opacities[:, 0] > 0).astype(jnp.float32)
             per_ray = huber(colors, pixels).mean(-1)
             loss = (per_ray * alive).sum() / jnp.maximum(alive.sum(), 1.0)
+            if args.distortion_loss > 0:
+                from nerfacc_tpu import loss_distortion_dense
+
+                dist = loss_distortion_dense(
+                    extras["weights"], extras["t_starts"],
+                    extras["t_starts"] + extras["deltas"],
+                    masks=extras["masks"],
+                )
+                loss = loss + args.distortion_loss * dist.mean()
             return loss, n
 
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -126,6 +126,7 @@ def render_rays(
     compact_rays_fraction=None,
     prefilter_sigma=True,
     dt_max=1e10,
+    return_extras=False,
 ):
     """Render one ray batch: march (no grad) + composite (with grad).
 
@@ -138,6 +139,11 @@ def render_rays(
     enables the reference's 2-stage cheap-cull-then-render trick
     (``utils.py:86-106``) — worth it when culling shrinks the grad-tracked
     pass more than one extra density pass costs.
+
+    ``return_extras`` additionally returns a dict with the per-slot
+    ``weights`` / ``t_starts`` / ``t_ends`` / ``deltas`` / ``masks`` (of
+    the compacted ray set when compaction is on) for regularizers such as
+    :func:`nerfacc_tpu.loss_distortion_dense`.
 
     ``compact_rays_fraction`` (needs ``grid`` and ``coarse_stride > 1``):
     rays whose probe count is zero produce pure background; drop them
@@ -280,6 +286,12 @@ def render_rays(
         )
         opacities = expand(opacities, 0.0)
         depths = expand(depths, 0.0)
+    if return_extras:
+        extras = {
+            "weights": weights, "t_starts": t_starts, "t_ends": t_ends,
+            "deltas": deltas, "masks": masks,
+        }
+        return colors, opacities, depths, masks.sum(), extras
     return colors, opacities, depths, masks.sum()
 
 
