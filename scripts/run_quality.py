@@ -43,6 +43,12 @@ CONFIGS = {
         "--samples_budget", "131072",
         "--test_chunk_size", "4096", "--eval_views", "3",
     ],
+    "proposal_2k": [
+        "examples/train_proposal_nerf.py",
+        "--max_steps", "2000", "--num_rays", "4096",
+        "--image_size", "128", "--train_views", "64",
+        "--eval_views", "3",
+    ],
     "dnerf_2k": [
         "examples/train_mlp_dnerf.py",
         "--max_steps", "2000", "--num_rays", "2048",
