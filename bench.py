@@ -71,11 +71,20 @@ def main():
     @jax.jit
     def train_step(params, opt_state, n_acc, rays_o, rays_d, pixels):
         def loss_fn(p):
-            colors, _, _, n = render_rays(
+            # compact path: non-hit rays render exactly the background, so
+            # the full-batch MSE is recovered algebraically without the
+            # expand-back scatter (see render_rays(return_compact=True))
+            colors, _, _, n, sel = render_rays(
                 p, field, rays_o, rays_d, grid=grid,
-                render_bkgd=jnp.ones(3), **kwargs,
+                render_bkgd=jnp.ones(3), aux=pixels, return_compact=True,
+                **kwargs,
             )
-            return jnp.mean((colors - pixels) ** 2), n
+            p_h, okm = sel["aux"], sel["ray_ok"][:, None]
+            sh = jnp.sum(jnp.where(okm, (colors - p_h) ** 2, 0.0))
+            sbg = jnp.sum((1.0 - pixels) ** 2) - jnp.sum(
+                jnp.where(okm, (1.0 - p_h) ** 2, 0.0)
+            )
+            return (sh + sbg) / pixels.size, n
 
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

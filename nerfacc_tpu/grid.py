@@ -101,14 +101,15 @@ class OccupancyGrid:
     roi_aabb: jnp.ndarray
     occs: jnp.ndarray
     binary: jnp.ndarray
-    # bit-packed copies of `binary` (and its 1- and 2-voxel dilations) for
-    # the fast row-gather lookup path (see nerfacc_tpu.lookup); kept in sync
-    # by create_grid / update_grid / with_binary. The radius-2 table lets
-    # marchers double the probe stride (C*dt/2 <= 2 voxels) at half the
-    # lookup volume.
+    # bit-packed copies of `binary` (and its 1-, 2- and 4-voxel dilations)
+    # for the fast row-gather lookup path (see nerfacc_tpu.lookup); kept in
+    # sync by create_grid / update_grid / with_binary. A radius-r table
+    # lets marchers probe every C-th candidate (C * dt / 2 <= r voxels) at
+    # 1/C-th the lookup volume.
     bits: jnp.ndarray
     bits_dilated: jnp.ndarray
     bits_dilated2: jnp.ndarray
+    bits_dilated4: jnp.ndarray
     resolution: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     contraction_type: ContractionType = flax.struct.field(pytree_node=False)
 
@@ -142,7 +143,12 @@ class OccupancyGrid:
             + ixyz[..., 1] * res[2]
             + ixyz[..., 2]
         )
-        table = (self.bits, self.bits_dilated, self.bits_dilated2)[int(dilated)]
+        table = {
+            0: self.bits,
+            1: self.bits_dilated,
+            2: self.bits_dilated2,
+            4: self.bits_dilated4,
+        }[int(dilated)]
         vals = bit_lookup(table, flat)
         if self.contraction_type == ContractionType.AABB:
             inside = jnp.all(
@@ -161,11 +167,14 @@ def with_binary(grid: OccupancyGrid, binary: jnp.ndarray) -> OccupancyGrid:
     """Replace the binary mask, keeping the packed bit-tables in sync."""
     binary = binary.astype(bool)
     d1 = dilate_binary(binary)
+    d2 = dilate_binary(d1)
+    d4 = dilate_binary(dilate_binary(d2))
     return grid.replace(
         binary=binary,
         bits=pack_bits(binary),
         bits_dilated=pack_bits(d1),
-        bits_dilated2=pack_bits(dilate_binary(d1)),
+        bits_dilated2=pack_bits(d2),
+        bits_dilated4=pack_bits(d4),
     )
 
 
@@ -196,6 +205,7 @@ def create_grid(
         bits=bits,
         bits_dilated=bits,  # dilation of all-const == itself
         bits_dilated2=bits,
+        bits_dilated4=bits,
         resolution=resolution,
         contraction_type=contraction_type,
     )
@@ -289,14 +299,7 @@ def update_grid(
 
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     binary = (occs > thre).reshape(grid.binary.shape)
-    d1 = dilate_binary(binary)
-    return grid.replace(
-        occs=occs,
-        binary=binary,
-        bits=pack_bits(binary),
-        bits_dilated=pack_bits(d1),
-        bits_dilated2=pack_bits(dilate_binary(d1)),
-    )
+    return with_binary(grid.replace(occs=occs), binary)
 
 
 def every_n_step(

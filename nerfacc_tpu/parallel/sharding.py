@@ -126,9 +126,7 @@ def update_grid_distributed(
     multiplying the effective cells-per-update by the chip count. The only
     other collective in training remains the gradient ``psum``.
     """
-    from ..grid import update_grid
-    from ..lookup import pack_bits
-    from ..grid import dilate_binary
+    from ..grid import update_grid, with_binary
 
     local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
     updated = update_grid(grid, local_key, step, occ_eval_fn, **kwargs)
@@ -136,11 +134,4 @@ def update_grid_distributed(
     binary = (
         occs > jnp.minimum(jnp.mean(occs), kwargs.get("occ_thre", 1e-2))
     ).reshape(grid.binary.shape)
-    d1 = dilate_binary(binary)
-    return grid.replace(
-        occs=occs,
-        binary=binary,
-        bits=pack_bits(binary),
-        bits_dilated=pack_bits(d1),
-        bits_dilated2=pack_bits(dilate_binary(d1)),
-    )
+    return with_binary(grid.replace(occs=occs), binary)
