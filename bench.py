@@ -22,6 +22,7 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import functools
 import json
 import time
 
@@ -66,9 +67,15 @@ def main():
         # ~60% of rays hit the half-occupied cube; drop the rest before any
         # per-sample work and re-spread the budget over hitting rays
         compact_rays_fraction=0.75,
+        # adaptive-stride probing: 32 groups/ray sized to each ray's
+        # in-range span (vs 64 fixed-stride groups, most of them beyond
+        # t_max) — fewer lookups and finer probes on short rays
+        probe_groups=32,
     )
 
-    @jax.jit
+    # donating params/opt_state/n_acc lets XLA update them in place
+    # (saves ~0.7 ms/step of whole-pytree copies)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, opt_state, n_acc, rays_o, rays_d, pixels):
         def loss_fn(p):
             # compact path: non-hit rays render exactly the background, so

@@ -100,7 +100,7 @@ def main():
         coarse_stride=args.coarse_stride,
     )
 
-    @functools.partial(jax.jit, static_argnames=("alpha_thre",))
+    @functools.partial(jax.jit, static_argnames=("alpha_thre",), donate_argnums=(0, 1))
     def train_step(
         params, opt_state, grid, rays_o, rays_d, pixels, timestamps, bkgd,
         key, alpha_thre: float,

@@ -102,7 +102,7 @@ def main():
         coarse_stride=args.coarse_stride,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, grid, rays_o, rays_d, pixels, key):
         def loss_fn(p):
             colors, opacities, _, n = render_rays(

@@ -111,6 +111,13 @@ def main():
         "density)",
     )
     p.add_argument(
+        "--probe_groups", type=int, default=0,
+        help="adaptive-stride probing: fixed number of probe groups per "
+        "ray with per-ray stride sized to the in-range span (0 = fixed "
+        "stride = coarse_stride; coverage caps at probe_groups * "
+        "coarse_stride candidates per ray)",
+    )
+    p.add_argument(
         "--coarse_stride", type=int, default=8,
         help="occupancy-probe stride (1 = exact per-sample; >1 probes the "
         "dilated grid every C-th candidate and selects chunk-level - "
@@ -199,9 +206,10 @@ def main():
         compact_rays_fraction=args.compact_rays or None,
         visible_samples_budget=args.visible_samples_budget,
         exact_recheck=bool(args.exact_recheck),
+        probe_groups=args.probe_groups or None,
     )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key):
         def loss_fn(p):
             colors, opacities, _, n, extras = render_rays(

@@ -21,6 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import argparse
+import functools
 import sys
 import time
 from pathlib import Path
@@ -152,7 +153,7 @@ def main():
         dist = loss_distortion_dense(w, segs.t_starts, segs.t_ends, segs.masks)
         return colors, opac, dist, colors_prop
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rays_o, rays_d, pixels, key):
         def loss_fn(p):
             colors, opac, dist, colors_prop = forward(p, rays_o, rays_d, key)

@@ -80,9 +80,13 @@ class CPLevel(nn.Module):
             for axis in range(3)
         ]
         if self.use_kernel:
-            from ..ops import cp_level_features
+            from ..ops import cp_level_features_res
 
-            return cp_level_features(x, *tables)
+            # residual-saving variant: backward reuses the forward's
+            # per-axis features instead of re-running 3 matmuls, and keeps
+            # the (B, R) d_u operands in VMEM (the XLA path round-trips
+            # them through HBM, ~2 ms/step at 2^19 samples)
+            return cp_level_features_res(x, *tables)
         feats = None
         for axis in range(3):
             basis = hat_basis(x[:, axis], self.grid_size).astype(jnp.bfloat16)

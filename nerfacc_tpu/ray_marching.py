@@ -220,7 +220,9 @@ def select_slots(
 
 
 def select_slots_grouped(
-    live_per_group: jnp.ndarray, group_size: int, k_slots: int
+    live_per_group: jnp.ndarray,
+    group_size: Union[int, jnp.ndarray],
+    k_slots: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample-granular slot selection when the live mask is *group
     structured*: group g contributes its first ``live_per_group[r, g]``
@@ -228,6 +230,9 @@ def select_slots_grouped(
     march's structure (occupancy constant per probe group; the in-t-range
     samples are a prefix), so exact sample-rank selection runs on (R, G)
     arrays — ``group_size``-fold cheaper than materializing (R, S).
+
+    ``group_size`` may be a per-ray (R, 1) int32 array (the adaptive-stride
+    march probes each ray's in-range span with ray-specific group sizes).
 
     Returns (pos, ok, scale) like :func:`select_slots`, with positions in
     sample units (group * group_size + offset).
@@ -287,29 +292,28 @@ def probe_live_groups(
     coarse_stride: int = 8,
     dt_max: float = MAX_DIST,
     probe_dilation: int = 1,
+    probe_groups: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Live-candidate counts per probe group: (n_rays, S/C) int32.
+    """Live-candidate counts per probe group: (n_rays, G) int32.
 
     One dilated-grid lookup per group at its center candidate; the
     in-t-range candidates of a group are a closed-form prefix (via the
     lattice inverse). ``sum(axis=1)`` gives per-ray live-candidate counts
     — usable for empty-ray compaction before any per-sample work.
 
-    ``probe_dilation`` is the dilation radius (1 or 2) of the probed
-    table; stride validity requires ``C * step / 2 <= radius * voxel``.
+    ``probe_dilation`` is the dilation radius (1, 2 or 4) of the probed
+    table; stride validity requires ``stride * step / 2 <= radius * voxel``.
+
+    ``probe_groups`` enables the *adaptive-stride* probe layout: instead
+    of ``G = S / C`` fixed-stride-C groups (most of which sit beyond
+    ``t_max`` for short rays and probe clamped duplicate points), each ray
+    gets exactly ``G = probe_groups`` groups with a per-ray stride
+    ``s = clip(ceil(k_in / G), 1, C)`` sized to its in-range span — the
+    same coverage at a fraction of the lookup volume. ``C`` remains the
+    dilation-validity cap; rays with more than ``G * C`` in-range
+    candidates have their tail truncated (size G accordingly).
     """
     S, C = max_samples_per_ray, coarse_stride
-    G = S // C
-    kc = jnp.arange(G, dtype=jnp.float32)[None, :] * C + (C - 1) / 2.0 + 0.5
-    t_probe = _lattice_t(
-        t_min[:, None], kc, render_step_size, cone_angle, dt_max
-    )
-    # groups straddling t_max: probe inside the live range (the scene box
-    # ends there — a probe beyond it would read "empty"); stays within the
-    # dilation radius of every live sample while C * step <= min voxel.
-    t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
-    xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
-    occ = grid.query_occ_fast(xyz, dilated=probe_dilation)  # (R, G)
     # candidates in t-range: t_mid(k) < t_max  <=>  k < k_of(t_max) - 1/2
     k_in = jnp.clip(
         jnp.ceil(
@@ -319,10 +323,31 @@ def probe_live_groups(
         0,
         S,
     ).astype(jnp.int32)  # (R,)
-    in_range_g = jnp.clip(
-        k_in[:, None] - jnp.arange(G, dtype=jnp.int32)[None, :] * C, 0, C
+    G, s = _probe_layout(k_in, S, C, probe_groups)
+    g = jnp.arange(G, dtype=jnp.int32)[None, :]
+    kc = (g * s).astype(jnp.float32) + (s.astype(jnp.float32) - 1.0) / 2.0 + 0.5
+    t_probe = _lattice_t(
+        t_min[:, None], kc, render_step_size, cone_angle, dt_max
     )
+    # groups straddling t_max: probe inside the live range (the scene box
+    # ends there — a probe beyond it would read "empty"); stays within the
+    # dilation radius of every live sample while stride * step <= min voxel.
+    t_probe = jnp.minimum(t_probe, t_max[:, None] - 0.5 * render_step_size)
+    xyz = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
+    occ = grid.query_occ_fast(xyz, dilated=probe_dilation)  # (R, G)
+    in_range_g = jnp.clip(k_in[:, None] - g * s, 0, s)
     return jnp.where(occ, in_range_g, 0)
+
+
+def _probe_layout(
+    k_in: jnp.ndarray, S: int, C: int, probe_groups: Optional[int]
+) -> Tuple[int, jnp.ndarray]:
+    """(G, per-ray group size (R, 1)) for fixed- or adaptive-stride probes."""
+    if probe_groups is None:
+        return S // C, jnp.full((k_in.shape[0], 1), C, jnp.int32)
+    G = probe_groups
+    s = jnp.clip((k_in[:, None] + G - 1) // G, 1, C)
+    return G, s.astype(jnp.int32)
 
 
 def march_rays(
@@ -340,6 +365,7 @@ def march_rays(
     live_groups: Optional[jnp.ndarray] = None,
     probe_dilation: int = 1,
     exact_recheck: bool = True,
+    probe_groups: Optional[int] = None,
 ) -> RaySegments:
     """Grid-accelerated marching into a dense (n_rays, K) slot layout.
 
@@ -371,9 +397,20 @@ def march_rays(
                 rays_o, rays_d, t_min, t_max, grid,
                 render_step_size=render_step_size, cone_angle=cone_angle,
                 max_samples_per_ray=S, coarse_stride=C, dt_max=dt_max,
-                probe_dilation=probe_dilation,
+                probe_dilation=probe_dilation, probe_groups=probe_groups,
             )
-        pos, ok, scale = select_slots_grouped(live_g, C, K)
+        # reconstruct the per-ray probe layout (deterministic from the
+        # t-range — works for live_groups gathered through ray compaction)
+        k_in = jnp.clip(
+            jnp.ceil(
+                _lattice_k(t_min, t_max, render_step_size, cone_angle, dt_max)
+                - 0.5
+            ),
+            0,
+            S,
+        ).astype(jnp.int32)
+        _, group_size = _probe_layout(k_in, S, C, probe_groups)
+        pos, ok, scale = select_slots_grouped(live_g, group_size, K)
     else:
         k = jnp.arange(S, dtype=jnp.float32)[None, :]
         t_mid = _lattice_t(

@@ -130,6 +130,7 @@ def render_rays(
     exact_recheck=True,
     aux=None,
     return_compact=False,
+    probe_groups=None,
 ):
     """Render one ray batch: march (no grad) + composite (with grad).
 
@@ -191,6 +192,7 @@ def render_rays(
             render_step_size=render_step_size, cone_angle=cone_angle,
             max_samples_per_ray=S, coarse_stride=coarse_stride,
             dt_max=dt_max, probe_dilation=probe_dilation,
+            probe_groups=probe_groups,
         )
         hit = live_g.sum(axis=1) > 0  # (R,)
         H = max(1, int(round(n_rays * compact_rays_fraction)))
@@ -234,6 +236,7 @@ def render_rays(
         live_groups=live_groups,
         probe_dilation=probe_dilation,
         exact_recheck=exact_recheck,
+        probe_groups=probe_groups,
     )
     if ray_sel is not None:
         segs = segs._replace(masks=segs.masks & ray_sel[1][:, None])

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfacc_tpu.models import hat_basis
-from nerfacc_tpu.ops import cp_level_features
+from nerfacc_tpu.ops import cp_level_features, cp_level_features_res
 
 
 def _xla_cp(xu, t0, t1, t2):
@@ -60,6 +60,32 @@ def test_cp_kernel_batch_padding():
     assert got.shape == (1500, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_cp_kernel_res_matches_xla():
+    # residual-saving variant: identical forward, backward from saved u's
+    xu, (t0, t1, t2) = _fixture(B=1500, seed=5)
+    got = cp_level_features_res(xu, t0, t1, t2)
+    want = _xla_cp(xu, t0, t1, t2)
+    assert got.shape == (1500, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-5)
+
+    w = jnp.asarray(np.random.RandomState(6).randn(8), jnp.float32)
+
+    def loss_k(t0, t1, t2):
+        return jnp.sum(cp_level_features_res(xu, t0, t1, t2) * w)
+
+    def loss_x(t0, t1, t2):
+        return jnp.sum(_xla_cp(xu, t0, t1, t2) * w)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(t0, t1, t2)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(t0, t1, t2)
+    for a, b in zip(gk, gx):
+        # the residual u is the f32-accumulated dot rounded once to bf16;
+        # the XLA reference rounds inside the bf16 dot — one extra ulp
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=4e-3)
 
 
 def test_tensocp_model_kernel_vs_xla():
