@@ -25,6 +25,9 @@ _TENSORF_BASE = [
     "--grid_resolution", "128", "--samples_budget", "393216",
     "--visible_samples_budget", "196608",
     "--test_chunk_size", "4096", "--eval_views", "3",
+    # adaptive-stride probing: measured faster AND better than fixed
+    # stride (34.45 vs 33.91 PSNR at 1k steps, 85 vs 110 s)
+    "--coarse_stride", "16", "--probe_groups", "32",
 ]
 
 CONFIGS = {
