@@ -262,6 +262,7 @@ def update_grid(
     occ_thre: float = 1e-2,
     ema_decay: float = 0.95,
     warmup_steps: int = 256,
+    adaptive_thre: bool = True,
 ) -> OccupancyGrid:
     """One EMA occupancy update (pure; reference ``grid.py:196-239``).
 
@@ -271,6 +272,15 @@ def update_grid(
             between the warmup all-cells path and the sampled path, which
             have different shapes; each path jits once).
         occ_eval_fn: world-space (N, 3) -> (N, 1) occupancy (density * step).
+        adaptive_thre: binarize at ``min(mean(occs), occ_thre)`` like the
+            reference (``grid.py:237-239``). The adaptive ``min`` exists to
+            bootstrap sparse scenes, but when a scene trains through a
+            uniform-fog phase it keeps *every* fog cell occupied (mean
+            drops below the fog level) and the fog becomes
+            self-reinforcing — measured on the unbounded procedural
+            config. ``False`` binarizes at the fixed ``occ_thre`` after
+            warmup (warmup always uses the adaptive rule so an untrained
+            field is not pruned to nothing).
     """
     k_sel, k_jit = jax.random.split(key)
     if step < warmup_steps:
@@ -297,7 +307,10 @@ def update_grid(
     occs = jnp.where(sel, grid.occs * ema_decay, grid.occs)
     occs = occs.at[indices].max(occ)
 
-    thre = jnp.minimum(jnp.mean(occs), occ_thre)
+    if adaptive_thre or step < warmup_steps:
+        thre = jnp.minimum(jnp.mean(occs), occ_thre)
+    else:
+        thre = jnp.asarray(occ_thre)
     binary = (occs > thre).reshape(grid.binary.shape)
     return with_binary(grid.replace(occs=occs), binary)
 

@@ -134,6 +134,11 @@ class TensoCPRadianceField(nn.Module):
     unbounded: bool = False
     geo_feat_dim: int = 15
     use_kernel: bool = False
+    # initial log-density shift: density ~ trunc_exp(bias) at init. The
+    # default -1 (density ~0.37) is fine for bounded scenes (~3 units of
+    # ray path) but leaves unbounded rays (~12+ units) near-opaque at
+    # init, which stalls early training — use a lower bias there.
+    density_bias: float = -1.0
 
     def setup(self):
         self.cp_levels = [
@@ -161,7 +166,7 @@ class TensoCPRadianceField(nn.Module):
         xq = jnp.clip(xu, 0.0, 1.0)
         h = self.mlp_base(self._encode(xq))
         density_before, feat = h[..., :1], h[..., 1:]
-        density = trunc_exp(density_before - 1.0) * selector
+        density = trunc_exp(density_before + self.density_bias) * selector
         if return_feat:
             return density, feat
         return density
