@@ -61,23 +61,63 @@ def main():
     p.add_argument("--n_coarse", type=int, default=64)
     p.add_argument("--n_fine", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-2)
-    p.add_argument("--distortion_loss", type=float, default=1e-3)
+    p.add_argument(
+        "--distortion_loss", type=float, default=-1.0,
+        help="MipNeRF-360 Eq.15 weight; default -1 = auto (1e-3 bounded, "
+        "1e-2 unbounded). In unbounded mode the regularizer is computed "
+        "in normalized disparity coordinates s, as in the paper - raw-t "
+        "distortion at far-field scale is ~20x over-weighted and "
+        "destabilizes training (measured: 14 vs 39 test PSNR).",
+    )
+    p.add_argument(
+        "--unbounded", action="store_true",
+        help="360 mode: sphere contraction + uniform-in-disparity coarse "
+        "intervals on [near_plane, far_plane] (the MipNeRF-360 recipe - "
+        "proposal sampling is the right tool for unbounded scenes, where "
+        "occupancy-grid pruning dynamics break down; see the grid "
+        "example's unbounded flags for that investigation)",
+    )
+    p.add_argument("--near_plane", type=float, default=1.0)
+    p.add_argument(
+        "--prop_grid", type=int, default=64,
+        help="proposal-field grid nodes per axis (raise for unbounded: "
+        "the contracted far-field shell is thin and a coarse proposal "
+        "cannot steer samples into it)",
+    )
+    p.add_argument("--far_plane", type=float, default=64.0)
+    p.add_argument(
+        "--scene", type=str, default="procedural",
+        choices=["procedural", "procedural360"],
+    )
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--test_chunk_size", type=int, default=4096)
     args = p.parse_args()
 
-    scene = ProceduralScene(
-        n_views=args.train_views, width=args.image_size,
-        height=args.image_size,
-    )
+    if args.scene == "procedural360":
+        from nerfacc_tpu.datasets import Procedural360Scene
+
+        scene = Procedural360Scene(
+            n_views=args.train_views, width=args.image_size,
+            height=args.image_size,
+        )
+    else:
+        scene = ProceduralScene(
+            n_views=args.train_views, width=args.image_size,
+            height=args.image_size,
+        )
+    has_bkgd = scene.bkgd is not None
+    dist_w = args.distortion_loss
+    if dist_w < 0:
+        dist_w = 1e-2 if args.unbounded else 1e-3
     aabb = tuple(float(v) for v in np.asarray(scene.aabb))
     aabb_j = jnp.asarray(aabb)
 
-    field = TensoCPRadianceField(aabb=aabb)
+    field = TensoCPRadianceField(aabb=aabb, unbounded=args.unbounded)
     # density-capacity-light proposal; renders its own coarse color for a
     # classic coarse/fine photometric loss
     proposal = TensoCPRadianceField(
-        aabb=aabb, levels=((64, 32),), use_viewdirs=False, geo_feat_dim=7
+        aabb=aabb, levels=((args.prop_grid, 32),), use_viewdirs=False,
+        geo_feat_dim=7, unbounded=args.unbounded,
     )
     key = jax.random.PRNGKey(42)
     key, k1, k2 = jax.random.split(key, 3)
@@ -111,15 +151,36 @@ def main():
     # inside proposal_sampling_with_filter; w_prop is grad-tracked
 
     def forward(p, rays_o, rays_d, key):
-        t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb_j)
-        t_min = t_min + jax.random.uniform(key, t_min.shape) * 0.02
-        # coarse uniform intervals across the per-ray box span
-        segs0 = sample_along_rays(
-            rays_o, rays_d, t_min, t_max,
-            step_size=float(np.linalg.norm(np.asarray(aabb[3:]) -
-                                           np.asarray(aabb[:3]))) / args.n_coarse,
-            num_steps=args.n_coarse,
-        )
+        if args.unbounded:
+            # uniform-in-disparity coarse interval edges on
+            # [near, far] (MipNeRF-360: linear sampling in 1/t covers
+            # near content finely and the contracted far field coarsely),
+            # lattice jittered per ray within one disparity bin
+            R = rays_o.shape[0]
+            K = args.n_coarse
+            u = jax.random.uniform(key, (R, 1)) / K
+            s = jnp.clip(
+                jnp.linspace(0.0, 1.0, K + 1)[None, :] + u, 0.0, 1.0
+            )
+            inv = (1.0 - s) / args.near_plane + s / args.far_plane
+            t_edges = 1.0 / inv
+            from nerfacc_tpu.ray_marching import RaySegments
+
+            segs0 = RaySegments(
+                t_starts=t_edges[:, :-1], t_ends=t_edges[:, 1:],
+                deltas=t_edges[:, 1:] - t_edges[:, :-1],
+                masks=jnp.ones((R, K), bool),
+            )
+        else:
+            t_min, t_max = ray_aabb_intersect(rays_o, rays_d, aabb_j)
+            t_min = t_min + jax.random.uniform(key, t_min.shape) * 0.02
+            # coarse uniform intervals across the per-ray box span
+            segs0 = sample_along_rays(
+                rays_o, rays_d, t_min, t_max,
+                step_size=float(np.linalg.norm(np.asarray(aabb[3:]) -
+                                               np.asarray(aabb[:3]))) / args.n_coarse,
+                num_steps=args.n_coarse,
+            )
 
         def prop_sigma_fn(ts, te):
             return dense_density(proposal, p["proposal"], rays_o, rays_d, ts, te)
@@ -139,7 +200,8 @@ def main():
         )
         colors_prop = accumulate_along_rays_dense(w_prop, rgb_prop, masks=m0)
         opac_prop = accumulate_along_rays_dense(w_prop, masks=m0)
-        colors_prop = colors_prop + 1.0 * (1.0 - opac_prop)
+        if has_bkgd:
+            colors_prop = colors_prop + 1.0 * (1.0 - opac_prop)
         # main render on the surface-focused intervals
         rgbs, sigmas = dense_rgb_sigma(
             field, p["field"], rays_o, rays_d, segs.t_starts, segs.t_ends
@@ -149,8 +211,25 @@ def main():
         )
         colors = accumulate_along_rays_dense(w, rgbs, masks=segs.masks)
         opac = accumulate_along_rays_dense(w, masks=segs.masks)
-        colors = colors + 1.0 * (1.0 - opac)  # white bkgd
-        dist = loss_distortion_dense(w, segs.t_starts, segs.t_ends, segs.masks)
+        if has_bkgd:
+            colors = colors + 1.0 * (1.0 - opac)  # white bkgd
+        if args.unbounded:
+            # distortion in normalized disparity coordinates (MipNeRF-360
+            # Eq. 15 uses normalized ray distance): raw-t distortion at
+            # far-plane scale dominates the photometric loss and sets off
+            # a density race that wrecks the main field
+            inv_n, inv_f = 1.0 / args.near_plane, 1.0 / args.far_plane
+
+            def to_s(t):
+                return (inv_n - 1.0 / jnp.maximum(t, 1e-6)) / (inv_n - inv_f)
+
+            dist = loss_distortion_dense(
+                w, to_s(segs.t_starts), to_s(segs.t_ends), segs.masks
+            )
+        else:
+            dist = loss_distortion_dense(
+                w, segs.t_starts, segs.t_ends, segs.masks
+            )
         return colors, opac, dist, colors_prop
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -159,7 +238,7 @@ def main():
             colors, opac, dist, colors_prop = forward(p, rays_o, rays_d, key)
             loss = huber(colors, pixels).mean()
             loss_prop = huber(colors_prop, pixels).mean()
-            return loss + loss_prop + args.distortion_loss * dist.mean()
+            return loss + loss_prop + dist_w * dist.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

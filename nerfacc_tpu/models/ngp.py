@@ -21,11 +21,15 @@ from .hash_encoding import HashEncoder
 
 @jax.custom_vjp
 def trunc_exp(x):
-    return jnp.exp(x)
+    # forward clamped at 30 (density 1e13) — the reference leaves the
+    # forward unclamped (ngp.py:22-38) but an overflowed inf density
+    # poisons masked-slot math (inf * 0 delta = NaN) in the dense layout;
+    # measured blowing up the unbounded proposal run at lr 1e-2
+    return jnp.exp(jnp.minimum(x, 30.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return trunc_exp(x), x
 
 
 def _trunc_exp_bwd(x, g):

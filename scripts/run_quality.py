@@ -46,6 +46,13 @@ CONFIGS = {
         "--samples_budget", "131072",
         "--test_chunk_size", "4096", "--eval_views", "3",
     ],
+    "proposal360_4k": [
+        "examples/train_proposal_nerf.py", "--scene", "procedural360",
+        "--unbounded", "--max_steps", "4000", "--num_rays", "4096",
+        "--image_size", "96", "--train_views", "64", "--eval_views", "3",
+        "--test_chunk_size", "2048", "--lr", "5e-3", "--prop_grid", "192",
+        "--n_coarse", "96", "--n_fine", "48",
+    ],
     "proposal_2k": [
         "examples/train_proposal_nerf.py",
         "--max_steps", "2000", "--num_rays", "4096",

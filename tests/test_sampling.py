@@ -132,3 +132,24 @@ def test_distortion_dense_zero_for_delta():
     l_spread = float(loss_distortion_dense(w_spread, t0, t1)[0])
     assert l_point < 0.01
     assert l_spread > l_point + 1.0
+
+
+def test_procedural360_scene_and_env():
+    """360 scene: directional env background, bkgd None, batch API."""
+    import numpy as np
+
+    from nerfacc_tpu.datasets import Procedural360Scene
+    from nerfacc_tpu.datasets.procedural import env_color
+
+    s = Procedural360Scene(n_views=3, width=16, height=16)
+    assert s.bkgd is None
+    assert s.images.shape == (3, 16, 16, 3)
+    rays, px = s.sample_batch(32)
+    assert px.shape == (32, 3)
+    # env is direction-only: scaling the direction changes nothing
+    d = jnp.asarray(np.random.RandomState(0).randn(8, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(env_color(d)), np.asarray(env_color(3.0 * d)), atol=1e-6
+    )
+    v = np.asarray(env_color(d))
+    assert (v >= 0).all() and (v <= 1).all()
