@@ -58,6 +58,12 @@ def main():
         "dilated grid every C-th candidate and selects chunk-level - "
         "faster march, slightly coarser sample placement)",
     )
+    p.add_argument(
+        "--probe_groups", type=int, default=0,
+        help="adaptive-stride probing: fixed probe-group count per ray "
+        "with per-ray stride sized to the in-range span (0 = fixed "
+        "stride = coarse_stride)",
+    )
     p.add_argument("--image_size", type=int, default=128)
     args = p.parse_args()
 
@@ -98,6 +104,7 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
+        probe_groups=args.probe_groups or None,
     )
 
     @functools.partial(jax.jit, static_argnames=("alpha_thre",), donate_argnums=(0, 1))

@@ -62,6 +62,12 @@ def main():
         "dilated grid every C-th candidate and selects chunk-level - "
         "faster march, slightly coarser sample placement)",
     )
+    p.add_argument(
+        "--probe_groups", type=int, default=0,
+        help="adaptive-stride probing: fixed probe-group count per ray "
+        "with per-ray stride sized to the in-range span (0 = fixed "
+        "stride = coarse_stride)",
+    )
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -100,6 +106,7 @@ def main():
         max_samples_per_ray=args.max_samples_per_ray,
         samples_budget=args.samples_budget,
         coarse_stride=args.coarse_stride,
+        probe_groups=args.probe_groups or None,
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
