@@ -98,7 +98,17 @@ def ray_resampling(
     rid = jnp.arange(n_rays, dtype=jnp.float32)[:, None]
     qg = (rid + u[None, :]).reshape(-1)  # (n_rays * num_bins,)
 
-    idx = jnp.clip(jnp.searchsorted(g, qg, side="left"), 0, N - 1)
+    # Clamp each query's hit into its own ray's slot range: the global CDF
+    # relies on f32 ``ray_index + cdf`` staying ordered, but at large n_rays
+    # the f32 ulp near the ray offset approaches the bin spacing, so a seam
+    # query could otherwise resolve into a neighboring ray's segment.
+    full_counts = segment_sum(jnp.ones_like(seg), seg, n_rays)
+    seg_end = jnp.cumsum(full_counts)  # exclusive end of ray r's slots
+    seg_lo = seg_end - full_counts
+    qr = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), num_bins)
+    idx = jnp.searchsorted(g, qg, side="left")
+    idx = jnp.clip(idx, seg_lo[qr], jnp.maximum(seg_end[qr] - 1, seg_lo[qr]))
+    idx = jnp.clip(idx, 0, N - 1)
     cdf_next = cdf_incl[idx]
     prev_i = jnp.maximum(idx - 1, 0)
     prev_same_ray = (idx > 0) & (seg[prev_i] == seg[idx])

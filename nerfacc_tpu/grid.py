@@ -151,9 +151,19 @@ class OccupancyGrid:
         }[int(dilated)]
         vals = bit_lookup(table, flat)
         if self.contraction_type == ContractionType.AABB:
+            lo, hi = self.roi_aabb[:3], self.roi_aabb[3:]
+            if dilated:
+                # Dilated queries are recall-oriented (march probes): a
+                # probe within `dilated` voxels OUTSIDE the box must still
+                # see the boundary voxel's dilated bit (the index clamp
+                # already maps it there), otherwise probe groups straddling
+                # the box exit lose their in-box members whenever the
+                # t-range is not aabb-bounded. The widened band only adds
+                # false positives, which the exact re-check removes.
+                margin = dilated * (hi - lo) / res.astype(jnp.float32)
+                lo, hi = lo - margin, hi + margin
             inside = jnp.all(
-                (samples >= self.roi_aabb[:3]) & (samples <= self.roi_aabb[3:]),
-                axis=-1,
+                (samples >= lo) & (samples <= hi), axis=-1
             )
             vals = vals & inside
         return vals
@@ -324,6 +334,7 @@ def every_n_step(
     ema_decay: float = 0.95,
     warmup_steps: int = 256,
     n: int = 16,
+    adaptive_thre: bool = True,
 ) -> OccupancyGrid:
     """Update the grid every ``n`` steps (reference ``grid.py:241-277``);
     returns the (possibly unchanged) grid. ``step`` must be a Python int."""
@@ -331,5 +342,6 @@ def every_n_step(
         return update_grid(
             grid, key, step, occ_eval_fn,
             occ_thre=occ_thre, ema_decay=ema_decay, warmup_steps=warmup_steps,
+            adaptive_thre=adaptive_thre,
         )
     return grid

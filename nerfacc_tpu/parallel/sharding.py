@@ -55,15 +55,17 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.device_put(tree, sharding)
 
 
-def psum_grads(grads, axis: str = "data"):
-    """All-reduce gradients over the mesh axis (rides ICI)."""
+def psum_grads(grads, axis="data"):
+    """All-reduce gradients over the mesh axis (rides ICI). ``axis`` may
+    be a tuple of axis names for hierarchical host x chip meshes
+    (see :mod:`nerfacc_tpu.parallel.multihost`)."""
     return jax.lax.psum(grads, axis_name=axis)
 
 
 def data_parallel(
     step_fn: Callable,
     mesh: Mesh,
-    axis: str = "data",
+    axis="data",
     *,
     batched_args: Sequence[int],
     n_out: int,
@@ -131,7 +133,16 @@ def update_grid_distributed(
     local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
     updated = update_grid(grid, local_key, step, occ_eval_fn, **kwargs)
     occs = jax.lax.pmax(updated.occs, axis_name=axis)
-    binary = (
-        occs > jnp.minimum(jnp.mean(occs), kwargs.get("occ_thre", 1e-2))
-    ).reshape(grid.binary.shape)
+    # Re-binarize after the merge with the SAME threshold rule update_grid
+    # used (grid.py:310-313): adaptive min(mean, occ_thre) during warmup or
+    # when adaptive_thre, else the fixed occ_thre — so --fixed_occ_thre
+    # keeps working under data parallelism.
+    occ_thre = kwargs.get("occ_thre", 1e-2)
+    adaptive = kwargs.get("adaptive_thre", True)
+    warmup = kwargs.get("warmup_steps", 256)
+    if adaptive or step < warmup:
+        thre = jnp.minimum(jnp.mean(occs), occ_thre)
+    else:
+        thre = jnp.asarray(occ_thre)
+    binary = (occs > thre).reshape(grid.binary.shape)
     return with_binary(grid.replace(occs=occs), binary)

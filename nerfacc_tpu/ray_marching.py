@@ -42,7 +42,7 @@ quality-neutral divergence).
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -416,7 +416,19 @@ def march_rays(
         t_mid = _lattice_t(
             t_min[:, None], k + 0.5, render_step_size, cone_angle, dt_max
         )
-        valid = t_mid < t_max[:, None]
+        # in-range rule shared with the grouped fast path: the closed-form
+        # lattice inverse, NOT a direct t_mid < t_max compare — the two
+        # round differently at the f32 seam and would disagree by +-1
+        # sample at the end of each ray's range
+        k_in = jnp.clip(
+            jnp.ceil(
+                _lattice_k(t_min, t_max, render_step_size, cone_angle, dt_max)
+                - 0.5
+            ),
+            0,
+            S,
+        )
+        valid = k < k_in[:, None]
         if grid is not None:
             xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
             valid = valid & grid.query_occ_fast(xyz)
@@ -431,7 +443,20 @@ def march_rays(
         cone_angle,
         dt_max,
     )
-    deltas = (t_ends - t_starts) * scale.astype(jnp.float32)
+    # Exact group width in closed form: with cone_angle > 0 the later
+    # intervals in a decimation s-group are geometrically larger, so
+    # (t_ends - t_starts) * scale would under-cover the group's range.
+    # Identical to that expression when cone_angle == 0 or scale == 1.
+    deltas = (
+        _lattice_t(
+            t_min[:, None],
+            (pos + scale).astype(jnp.float32),
+            render_step_size,
+            cone_angle,
+            dt_max,
+        )
+        - t_starts
+    )
     masks = ok
     if grid is not None and C > 1 and exact_recheck:
         # exact re-check of the selected slots (removes dilation positives).
@@ -502,6 +527,9 @@ def ray_marching(
     visible_samples_budget: Optional[int] = None,
     coarse_stride: int = 1,
     dt_max: float = MAX_DIST,
+    probe_dilation: int = 1,
+    probe_groups: Optional[int] = None,
+    exact_recheck: bool = True,
 ) -> PackedSamples:
     """March rays with empty/occluded-space skipping (reference
     ``ray_marching.py:13-222``), flat packed output.
@@ -521,6 +549,12 @@ def ray_marching(
             per-ray capacity — the reference's cull-then-render trick
             with static shapes.
         coarse_stride: see :func:`march_rays`.
+        probe_dilation / probe_groups / exact_recheck: the fast-path
+            probe knobs of :func:`march_rays` (dilated-table radius,
+            adaptive per-ray probe strides, exact per-slot re-check) —
+            the configuration ``utils.render_rays`` uses for its
+            benchmark numbers, exposed here so parity-API users get the
+            same throughput.
 
     Returns:
         :class:`PackedSamples` ``(ray_indices, t_starts, t_ends, masks)``
@@ -550,6 +584,9 @@ def ray_marching(
         slots_per_ray=K,
         coarse_stride=coarse_stride if grid is not None else 1,
         dt_max=dt_max,
+        probe_dilation=probe_dilation,
+        probe_groups=probe_groups,
+        exact_recheck=exact_recheck,
     )
 
     # visibility culling (reference ray_marching.py:192-220)
@@ -573,12 +610,28 @@ def ray_marching(
         segs = segs._replace(masks=segs.masks & vis)
         if visible_samples_budget is not None:
             K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
-            pos2, ok2, scale2 = select_slots(segs.masks, K2)
+            pos2, ok2, _ = select_slots(segs.masks, K2)
+            # Exact decimation-group widths: groups tile the live slots
+            # contiguously in rank order, so group j's width is the span
+            # of the masked-delta cumsum from its own start to the next
+            # group's start (the total for the last live group) — exact
+            # even when the source deltas are themselves widened.
+            d_live = jnp.where(segs.masks, segs.deltas, 0.0)
+            cd = jnp.cumsum(d_live, axis=1)  # inclusive
+            start_excl = gather_rows_dense(cd, pos2) - gather_rows_dense(
+                d_live, pos2
+            )
+            ok_next = jnp.concatenate(
+                [ok2[:, 1:], jnp.zeros_like(ok2[:, :1])], axis=1
+            )
+            next_start = jnp.concatenate(
+                [start_excl[:, 1:], cd[:, -1:]], axis=1
+            )
+            widths = jnp.where(ok_next, next_start, cd[:, -1:]) - start_excl
             segs = RaySegments(
                 t_starts=gather_rows_dense(segs.t_starts, pos2),
                 t_ends=gather_rows_dense(segs.t_ends, pos2),
-                deltas=gather_rows_dense(segs.deltas, pos2)
-                * scale2.astype(jnp.float32),
+                deltas=jnp.where(ok2, widths, 0.0),
                 masks=ok2,
             )
 

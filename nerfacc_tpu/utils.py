@@ -13,6 +13,8 @@ and accumulation is a row reduction. See ``ray_marching.march_rays``.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -352,6 +354,7 @@ def render_image(
     *,
     test_chunk_size: int = 8192,
     eval_samples_per_ray: int = 128,
+    eval_visible_samples_per_ray: Optional[int] = None,
     **kwargs,
 ):
     """Chunked whole-image render (reference ``utils.py:79-106``).
@@ -360,14 +363,25 @@ def render_image(
     same leading shape.
 
     The per-ray slot count is ``eval_samples_per_ray`` (with grid skipping
-    + sigma culling, 128 live samples/ray of headroom is generous).
+    + sigma culling, 128 live samples/ray of headroom is generous); the
+    ``samples_budget`` kwarg is always re-derived from it, since a
+    training-batch budget makes no sense for eval chunks.
+
+    ``eval_visible_samples_per_ray`` controls the post-cull budget the
+    same way: when set, a caller-provided ``visible_samples_budget`` is
+    rescaled to ``test_chunk_size * eval_visible_samples_per_ray``. When
+    left ``None`` (default) the caller's ``visible_samples_budget`` kwarg
+    passes through untouched.
     """
     n = rays_o.shape[0]
     chunk = test_chunk_size
     kwargs = dict(kwargs)
     kwargs["samples_budget"] = chunk * eval_samples_per_ray
-    if kwargs.get("visible_samples_budget") is not None:
-        kwargs["visible_samples_budget"] = chunk * (eval_samples_per_ray // 2)
+    if (
+        eval_visible_samples_per_ray is not None
+        and kwargs.get("visible_samples_budget") is not None
+    ):
+        kwargs["visible_samples_budget"] = chunk * eval_visible_samples_per_ray
     pad = (-n) % chunk
     timestamps = kwargs.pop("timestamps", None)
     if pad:

@@ -236,15 +236,25 @@ _weight_from_density_dense.defvjp(
 )
 
 
+def _exclusive_cumprod_rows(x):
+    """True exclusive row cumprod: out[:, i] = prod_{j<i} x[:, j].
+
+    Implemented by shift-then-cumprod rather than the
+    ``cumprod(x)/x`` trick, which returns 0 (not the exclusive
+    product) whenever some ``x`` saturates to exactly 0 — routine for
+    converged opaque surfaces where ``alpha == 1.0`` in f32."""
+    shifted = jnp.concatenate([jnp.ones_like(x[:, :1]), x[:, :-1]], axis=1)
+    return jnp.cumprod(shifted, axis=1)
+
+
 @jax.custom_vjp
 def _weight_from_alpha_dense(alphas):
-    trans = jnp.cumprod(1.0 - alphas, axis=1) / jnp.maximum(1.0 - alphas, 1e-10)
+    trans = _exclusive_cumprod_rows(1.0 - alphas)
     return trans * alphas
 
 
 def _weight_from_alpha_dense_fwd(alphas):
-    one_m = jnp.maximum(1.0 - alphas, 1e-10)
-    trans = jnp.cumprod(1.0 - alphas, axis=1) / one_m  # exclusive cumprod
+    trans = _exclusive_cumprod_rows(1.0 - alphas)
     weights = trans * alphas
     return weights, (alphas, trans, weights)
 
@@ -297,7 +307,7 @@ def render_transmittance_from_alpha_dense(alphas, masks=None):
     """Transmittance ``T_i = prod_{j<i} (1 - alpha_j)`` on the dense layout."""
     if masks is not None:
         alphas = jnp.where(masks, alphas, 0.0)
-    return jnp.cumprod(1.0 - alphas, axis=1) / jnp.maximum(1.0 - alphas, 1e-10)
+    return _exclusive_cumprod_rows(1.0 - alphas)
 
 
 def render_visibility_dense(

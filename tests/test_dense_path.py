@@ -402,3 +402,67 @@ def test_make_field_fns_closure_contract():
     rgbs, sigmas = rgb_sigma_fn(out.t_starts, out.t_ends, out.ray_indices)
     assert rgbs.shape == (out.t_starts.shape[0], 3)
     assert np.isfinite(np.asarray(rgbs)).all()
+
+
+def test_dense_saturated_alpha_exclusive_transmittance():
+    """A sample whose alpha saturates to exactly 1.0 in f32 must keep its
+    own full weight (T_i * 1) and visibility — the old cumprod/(1-alpha)
+    trick returned 0 for the opaque sample itself and let content behind
+    it leak through (advisor round-1 finding)."""
+    alphas = jnp.array([[0.3, 1.0, 0.5, 0.2]], jnp.float32)
+    masks = jnp.ones_like(alphas, bool)
+    w_dense = np.asarray(render_weight_from_alpha_dense(alphas, masks))[0]
+    # exclusive transmittance: [1, .7, 0, 0]
+    np.testing.assert_allclose(w_dense, [0.3, 0.7, 0.0, 0.0], atol=1e-6)
+    # packed twin agrees
+    ray_indices = jnp.zeros(4, jnp.int32)
+    w_flat = np.asarray(
+        render_weight_from_alpha(
+            alphas.reshape(-1), ray_indices=ray_indices, n_rays=1
+        )
+    )
+    np.testing.assert_allclose(w_dense, w_flat.reshape(-1), atol=1e-6)
+    vis = np.asarray(render_visibility_dense(alphas, masks))[0]
+    # opaque sample is visible; everything strictly behind it is not
+    assert vis.tolist() == [True, True, False, False]
+    # transmittance twin: true exclusive product
+    from nerfacc_tpu.vol_rendering import (
+        render_transmittance_from_alpha_dense,
+    )
+
+    trans = np.asarray(render_transmittance_from_alpha_dense(alphas, masks))[0]
+    np.testing.assert_allclose(trans, [1.0, 0.7, 0.0, 0.0], atol=1e-6)
+
+
+def test_render_image_keeps_caller_visible_budget():
+    """render_image must not silently override a caller's
+    visible_samples_budget (advisor round-1 weak finding): rescaling is
+    opt-in via eval_visible_samples_per_ray."""
+    from nerfacc_tpu.models import VanillaNeRFRadianceField
+    from nerfacc_tpu.utils import render_image, render_rays
+
+    rng = np.random.RandomState(11)
+    n = 32
+    rays_o = jnp.asarray(rng.rand(n, 3) * 0.5, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    field = VanillaNeRFRadianceField(net_depth=1, net_width=16)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+    )
+    grid = create_grid([-1.5] * 3 + [1.5] * 3, resolution=8, occupied=True)
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+    kwargs = dict(
+        grid=grid, scene_aabb=aabb, render_step_size=5e-2,
+        max_samples_per_ray=64, render_bkgd=jnp.ones(3),
+        visible_samples_budget=n * 16,
+    )
+    c1, _, _ = render_image(
+        params, field, rays_o, rays_d,
+        test_chunk_size=n, eval_samples_per_ray=64, **kwargs,
+    )
+    # same budget passed straight through render_rays
+    c2, _, _, _ = render_rays(
+        params, field, rays_o, rays_d, samples_budget=n * 64, **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)

@@ -145,3 +145,46 @@ def test_data_parallel_wrapper():
     total, doubled = fn(w, x)
     np.testing.assert_allclose(float(total), float((x * 2.0).sum()))
     np.testing.assert_allclose(np.asarray(doubled), np.asarray(x) * 2.0)
+
+
+def test_update_grid_distributed_honors_fixed_threshold():
+    """update_grid_distributed must mirror update_grid's threshold rule:
+    with adaptive_thre=False past warmup, binarization uses the fixed
+    occ_thre even after the pmax merge (advisor round-1 finding — the
+    adaptive min(mean, thre) rule silently re-enabled itself and
+    re-introduced the self-reinforcing-fog failure under DP)."""
+    from nerfacc_tpu import update_grid
+    from nerfacc_tpu.parallel import make_mesh, update_grid_distributed
+
+    mesh = make_mesh()
+    grid0 = create_grid([0, 0, 0, 1, 1, 1], resolution=8)
+
+    def occ_eval_fn(x):
+        # low-level "fog" everywhere: above mean-threshold, below 1e-2
+        return jnp.full(x.shape[:-1] + (1,), 5e-3)
+
+    key = jax.random.PRNGKey(3)
+
+    def shard_fn(grid, key):
+        return update_grid_distributed(
+            grid, key, step=10**9, occ_eval_fn=occ_eval_fn,
+            occ_thre=1e-2, adaptive_thre=False,
+        )
+
+    merged = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+            check_rep=False,
+        )
+    )(
+        jax.device_put(grid0, NamedSharding(mesh, P())),
+        jax.device_put(key, NamedSharding(mesh, P())),
+    )
+    # fixed threshold 1e-2 > fog level 5e-3 -> nothing binarizes occupied
+    assert int(merged.binary.sum()) == 0
+    # the adaptive rule would have marked every updated cell occupied
+    single_adaptive = update_grid(
+        grid0, key, step=10**9, occ_eval_fn=occ_eval_fn,
+        occ_thre=1e-2, adaptive_thre=True,
+    )
+    assert int(single_adaptive.binary.sum()) > 0

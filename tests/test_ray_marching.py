@@ -295,3 +295,87 @@ def test_adaptive_probe_groups_partial_occupancy():
         np.testing.assert_allclose(
             np.sort(ta[r][ma[r]]), np.sort(tb[r][mb[r]]), rtol=1e-5
         )
+
+
+def test_cone_decimation_exact_group_width():
+    """With cone_angle > 0 a decimation s-group's later intervals are
+    geometrically larger, so widening by (first interval * scale) would
+    under-cover the group (advisor round-1 finding). Deltas must equal
+    the exact closed-form group span t(pos+scale) - t(pos), and live
+    deltas must tile the in-range span exactly."""
+    from nerfacc_tpu.ray_marching import _lattice_k, _lattice_t, march_rays
+
+    n = 4
+    rays_o = jnp.zeros((n, 3)) + jnp.asarray([0.0, 0.5, 0.5])
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    t_min = jnp.full((n,), 0.5)
+    t_max = jnp.full((n,), 40.0)
+    step, cone, dtm = 1e-2, 0.05, 1e10
+    K = 16  # far fewer slots than in-range candidates -> decimation
+    segs = march_rays(
+        rays_o, rays_d, t_min, t_max, grid=None,
+        render_step_size=step, cone_angle=cone,
+        max_samples_per_ray=512, slots_per_ray=K, dt_max=dtm,
+    )
+    masks = np.asarray(segs.masks)
+    deltas = np.asarray(segs.deltas)
+    k_in = np.ceil(
+        np.asarray(_lattice_k(t_min, t_max, step, cone, dtm)) - 0.5
+    ).astype(int)
+    count = int(k_in[0])
+    assert count > K  # decimation really kicks in
+    # live slots: ceil(count / stride) with stride = ceil(count / K);
+    # trailing slots past the last group are dead by design
+    stride = -(-count // K)
+    n_live = -(-count // stride)
+    assert masks[:, :n_live].all()
+    assert not masks[:, n_live:].any()
+    # live deltas tile [t(0), t(k_in)) exactly: consecutive group starts
+    t0 = np.asarray(_lattice_t(t_min, jnp.zeros(n), step, cone, dtm))
+    starts = np.asarray(segs.t_starts)
+    ends = starts + deltas
+    np.testing.assert_allclose(starts[:, 0], t0, rtol=1e-5)
+    np.testing.assert_allclose(
+        starts[:, 1:n_live], ends[:, : n_live - 1], rtol=1e-4
+    )
+    t_end_span = np.asarray(
+        _lattice_t(t_min, jnp.asarray(k_in, jnp.float32), step, cone, dtm)
+    )
+    np.testing.assert_allclose(ends[:, n_live - 1], t_end_span, rtol=1e-4)
+    # the exact widths strictly exceed the naive first-interval * scale
+    # widening wherever the group holds more than one geometric interval
+    naive = (np.asarray(segs.t_ends) - starts) * stride
+    grow = deltas[:, : n_live - 1] > naive[:, : n_live - 1] * (1 + 1e-6)
+    assert grow.any()
+
+
+def test_ray_marching_fast_path_knobs():
+    """The parity API exposes the fast-path knobs (probe_dilation,
+    probe_groups, exact_recheck): with them on, the emitted live samples
+    match the slow exact path."""
+    rays_o, rays_d = _rand_rays(n=16, seed=13)
+    rays_o = rays_o * 0.2 + 0.4
+    grid = create_grid([0, 0, 0, 1, 1, 1], resolution=16, occupied=True)
+    # samples_budget = n_rays * S so K == S: no decimation — under
+    # decimation the grouped fast path legitimately picks different
+    # representatives than the flat path, so exact equality is only the
+    # contract at full slot capacity
+    common = dict(
+        near_plane=0.05, far_plane=1.5, render_step_size=1e-2,
+        max_samples_per_ray=256, samples_budget=16 * 256,
+    )
+    slow = ray_marching(rays_o, rays_d, grid=grid, **common)
+    # probe_groups * coarse_stride must cover max_samples_per_ray, else
+    # long rays get their candidate tail truncated (documented adaptive-
+    # stride behavior) and exactness is off the table
+    fast = ray_marching(
+        rays_o, rays_d, grid=grid, coarse_stride=8, probe_dilation=2,
+        probe_groups=32, exact_recheck=True, **common,
+    )
+    ms, mf = np.asarray(slow.masks), np.asarray(fast.masks)
+    assert ms.any()
+    np.testing.assert_array_equal(ms, mf)
+    np.testing.assert_allclose(
+        np.asarray(slow.t_starts)[ms], np.asarray(fast.t_starts)[mf],
+        rtol=1e-5,
+    )

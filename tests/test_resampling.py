@@ -63,3 +63,26 @@ def test_resampling_empty_ray_masked():
     m = np.asarray(out.masks).reshape(2, 8)
     assert m[0].all() and not m[1].any()
     assert int(out.packed_info[1, 1]) == 0
+
+
+def test_resampling_segment_clamp_large_n_rays():
+    """At large n_rays the f32 ulp of the global-CDF ray offset exceeds
+    the bin spacing, so an unclamped searchsorted can resolve a seam query
+    into a *neighboring ray's* segment (advisor round-1 finding). Rays
+    carry parity-coded t ranges; every resample must stay in its own."""
+    n_rays = (1 << 21) + 8  # ulp(2^21) = 0.25 > bin spacing
+    r = jnp.arange(n_rays, dtype=jnp.int32)
+    parity = (r % 2).astype(jnp.float32)
+    # even rays: t in [0, 1]; odd rays: t in [5, 6]
+    ts = (parity * 5.0)[:, None]
+    te = ts + 1.0
+    weights = jnp.ones((n_rays,), jnp.float32)
+    out = ray_resampling(
+        None, ts, te, weights, n_samples=2,
+        ray_indices=r, n_rays=n_rays,
+    )
+    got_ts = np.asarray(out.t_starts).reshape(n_rays, 2)
+    got_te = np.asarray(out.t_ends).reshape(n_rays, 2)
+    lo = np.asarray(ts)[:, 0:1]
+    hi = lo + 1.0
+    assert (got_ts >= lo - 1e-3).all() and (got_te <= hi + 1e-3).all()
