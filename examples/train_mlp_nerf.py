@@ -27,6 +27,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("NERFACC_PLATFORM"):
+    # hermetic-test hook: force a platform (e.g. cpu) before first use.
+    # The axon sitecustomize imports jax at interpreter start and
+    # snapshots JAX_PLATFORMS, so a plain env var is too late here.
+    jax.config.update("jax_platforms", os.environ["NERFACC_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -78,6 +84,11 @@ def main():
         scene = SubjectLoader(
             subject_id=args.scene, root_fp=args.data_root, split="train"
         )
+        test_scene = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+        scene.test_poses = test_scene.test_poses
+        scene.test_images = test_scene.test_images
     scene_aabb = scene.aabb
     render_bkgd = scene.bkgd
 

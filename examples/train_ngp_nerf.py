@@ -26,6 +26,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("NERFACC_PLATFORM"):
+    # hermetic-test hook: force a platform (e.g. cpu) before first use.
+    # The axon sitecustomize imports jax at interpreter start and
+    # snapshots JAX_PLATFORMS, so a plain env var is too late here.
+    jax.config.update("jax_platforms", os.environ["NERFACC_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -170,6 +176,13 @@ def main():
         scene = SubjectLoader(
             subject_id=args.scene, root_fp=args.data_root, split="train"
         )
+        # evaluate on the real test split (the train loader's test_* alias
+        # its own train views)
+        test_scene = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+        scene.test_poses = test_scene.test_poses
+        scene.test_images = test_scene.test_images
     if args.auto_aabb:
         # reference train_ngp_nerf.py:125-132: bound the scene by the
         # camera positions
@@ -368,7 +381,8 @@ def main():
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
             grid=grid, render_bkgd=jnp.ones(3) if has_bkgd else None,
-            test_chunk_size=args.test_chunk_size, **eval_kwargs,
+            test_chunk_size=args.test_chunk_size,
+            eval_visible_samples_per_ray=64, **eval_kwargs,
         )
         gt = scene.test_images[i].reshape(-1, 3)
         mse = float(jnp.mean((colors - gt) ** 2))

@@ -72,17 +72,26 @@ class SubjectLoader(_Base):
         self.bkgd = jnp.ones(3, jnp.float32)
         rgb, a = images[..., :3], images[..., 3:]
         self.test_images = jnp.asarray(rgb * a + (1 - a))
+        # host-side copies: batch assembly must be numpy (one eager jnp
+        # gather per step over a remote-attached TPU costs ~seconds)
+        self._images_np = np.ascontiguousarray(images, np.float32)
+        self._poses_np = np.ascontiguousarray(poses, np.float32)
+        self._times_np = np.asarray(times, np.float32)
 
     def sample_batch(self, num_rays: int):
-        n, h, w = self.images.shape[:3]
+        n, h, w = self._images_np.shape[:3]
         img_idx = self._rng.randint(0, n, (num_rays,))
         ys = self._rng.randint(0, h, (num_rays,))
         xs = self._rng.randint(0, w, (num_rays,))
-        rgba = self.images[img_idx, ys, xs]
+        rgba = self._images_np[img_idx, ys, xs]
         self.bkgd = self._bkgd()
-        pixels = rgba[:, :3] * rgba[:, 3:] + self.bkgd * (1 - rgba[:, 3:])
-        rays = generate_rays(
-            jnp.asarray(xs), jnp.asarray(ys), self.train_poses[img_idx], self.K
+        bkgd = np.asarray(self.bkgd)
+        pixels = jnp.asarray(
+            rgba[:, :3] * rgba[:, 3:] + bkgd * (1 - rgba[:, 3:])
         )
-        timestamps = self.timestamps[img_idx][:, None]  # (num_rays, 1)
+        rays = generate_rays(
+            jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(self._poses_np[img_idx]), self.K,
+        )
+        timestamps = jnp.asarray(self._times_np[img_idx][:, None])
         return rays, pixels, timestamps

@@ -59,9 +59,13 @@ def _load_colmap(root_fp: str, subject_id: str, split: str, factor: int = 1):
         [imageio.imread(image_dir / mapping[n]) for n in names]
     ).astype(np.float32) / 255.0
 
+    # Normalize over ALL poses before the split selection: train and
+    # test must share one world frame (a per-split normalization would
+    # evaluate in a different frame than training).
+    c2ws = _normalize_poses(c2ws[:, :3, :4].astype(np.float32))
     idx = np.arange(len(images))
     sel = idx[idx % 8 == 0] if split == "test" else idx[idx % 8 != 0]
-    return images[sel], c2ws[sel][:, :3, :4].astype(np.float32), K
+    return images[sel], c2ws[sel], K
 
 
 def _normalize_poses(c2ws: np.ndarray):
@@ -94,7 +98,6 @@ class SubjectLoader:
         seed: int = 0,
     ):
         images, c2ws, K = _load_colmap(root_fp, subject_id, split, factor)
-        c2ws = _normalize_poses(c2ws)
         self.images = jnp.asarray(images[..., :3])
         self.train_poses = jnp.asarray(c2ws)
         self.test_poses = self.train_poses
@@ -106,6 +109,10 @@ class SubjectLoader:
         self.aabb = jnp.asarray(AABB)
         self._rng = np.random.RandomState(seed)
         self.bkgd = jnp.zeros(3, jnp.float32)
+        # host-side copies: batch assembly must be numpy (one eager jnp
+        # gather per step over a remote-attached TPU costs ~seconds)
+        self._images_np = np.ascontiguousarray(images[..., :3], np.float32)
+        self._poses_np = np.ascontiguousarray(c2ws, np.float32)
 
     def _rays(self, x, y, poses):
         fx, fy = self.K[0, 0], self.K[1, 1]
@@ -130,12 +137,13 @@ class SubjectLoader:
         return self._rays(x.reshape(-1), y.reshape(-1), pose)
 
     def sample_batch(self, num_rays: int):
-        n, h, w = self.images.shape[:3]
+        n, h, w = self._images_np.shape[:3]
         img_idx = self._rng.randint(0, n, (num_rays,))
         ys = self._rng.randint(0, h, (num_rays,))
         xs = self._rng.randint(0, w, (num_rays,))
-        pixels = self.images[img_idx, ys, xs]
+        pixels = jnp.asarray(self._images_np[img_idx, ys, xs])
         rays = self._rays(
-            jnp.asarray(xs), jnp.asarray(ys), self.train_poses[img_idx]
+            jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(self._poses_np[img_idx]),
         )
         return rays, pixels

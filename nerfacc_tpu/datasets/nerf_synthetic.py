@@ -116,14 +116,20 @@ class SubjectLoader:
                 opengl=True,
             )
             return Rays(jnp.asarray(o), jnp.asarray(d)), jnp.asarray(px)
-        n, h, w = self.images.shape[:3]
+        # host-side numpy batch assembly (one eager jnp gather per step
+        # over a remote-attached TPU costs ~seconds)
+        n, h, w = self._images_np.shape[:3]
         img_idx = self._rng.randint(0, n, (num_rays,))
         ys = self._rng.randint(0, h, (num_rays,))
         xs = self._rng.randint(0, w, (num_rays,))
-        rgba = self.images[img_idx, ys, xs]
+        rgba = self._images_np[img_idx, ys, xs]
         self.bkgd = self._bkgd()
-        pixels = rgba[:, :3] * rgba[:, 3:] + self.bkgd * (1 - rgba[:, 3:])
+        bkgd = np.asarray(self.bkgd)
+        pixels = jnp.asarray(
+            rgba[:, :3] * rgba[:, 3:] + bkgd * (1 - rgba[:, 3:])
+        )
         rays = generate_rays(
-            jnp.asarray(xs), jnp.asarray(ys), self.train_poses[img_idx], self.K
+            jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(self._poses_np[img_idx]), self.K,
         )
         return rays, pixels
