@@ -22,9 +22,11 @@ import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import argparse
 import functools
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -36,23 +38,57 @@ REFERENCE_SAMPLES_PER_S = (1 << 18) * 20_000 / 287.0  # ~1.83e7
 
 def main():
     from nerfacc_tpu import create_grid, with_binary
-    from nerfacc_tpu.models import TensoCPRadianceField
+    from nerfacc_tpu.models import NGPRadianceField, TensoCPRadianceField
     from nerfacc_tpu.utils import render_rays
 
-    n_rays = 16384
-    samples_budget = 16384 * 48  # K=48 slots/ray pre-compaction
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", choices=["tensorf", "ngp"], default="tensorf",
+        help="'tensorf' (CP hat-basis matmuls, the TPU-native NGP-class "
+        "flagship) or 'ngp' (hash-grid gather path, measured for the "
+        "parity write-up — HBM random-row gathers bound it; see "
+        "docs/benchmarks.md)",
+    )
+    ap.add_argument(
+        "--grid", choices=["halfcube", "trained"], default="halfcube",
+        help="occupancy: synthetic half-occupied cube, or the binary "
+        "saved from a trained procedural run (bench_assets/"
+        "trained_grid.npz) so culling ratios match a real scene",
+    )
+    ap.add_argument("--iters", type=int, default=0, help="0 = per-model default")
+    ap.add_argument("--n_rays", type=int, default=16384)
+    args = ap.parse_args()
+
+    n_rays = args.n_rays
+    samples_budget = n_rays * 48  # K=48 slots/ray pre-compaction
     aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5])
 
     # flagship NGP-class field (the reference's headline workload is the
-    # NGP hash-grid example; this is its TPU-native equivalent)
-    field = TensoCPRadianceField(aabb=tuple(float(v) for v in np.asarray(aabb)))
+    # NGP hash-grid example; TensoCP is its TPU-native equivalent)
+    if args.model == "tensorf":
+        field = TensoCPRadianceField(
+            aabb=tuple(float(v) for v in np.asarray(aabb))
+        )
+        iters = args.iters or 30
+    else:
+        field = NGPRadianceField(
+            aabb=tuple(float(v) for v in np.asarray(aabb))
+        )
+        iters = args.iters or 3  # gather-bound: whole steps cost seconds
     params = field.init(
         jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
     )
     grid = create_grid(aabb, resolution=128, occupied=True)
-    # half-occupied grid: realistic culling ratio
-    binary = np.zeros((128, 128, 128), bool)
-    binary[32:96, 32:96, 32:96] = True
+    if args.grid == "trained":
+        # occupancy binary from a converged procedural training run
+        # (scripts/save_bench_grid.py) — realistic sparsity + topology
+        data = np.load(Path(__file__).parent / "bench_assets" /
+                       "trained_grid.npz")
+        binary = data["binary"]
+    else:
+        # half-occupied cube: synthetic but stable culling ratio
+        binary = np.zeros((128, 128, 128), bool)
+        binary[32:96, 32:96, 32:96] = True
     grid = with_binary(grid, jnp.asarray(binary))
 
     optimizer = optax.adam(5e-4)
@@ -98,7 +134,6 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, n_acc + n, loss
 
-    iters = 30
     r = np.random.RandomState(0)
     o = jnp.asarray(r.rand(iters + 1, n_rays, 3) * 2 - 1, jnp.float32)
     d = jnp.asarray(r.randn(iters + 1, n_rays, 3), jnp.float32)
@@ -129,6 +164,8 @@ def main():
                 "value": round(samples_per_s, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_s / REFERENCE_SAMPLES_PER_S, 3),
+                "model": args.model,
+                "grid": args.grid,
             }
         )
     )

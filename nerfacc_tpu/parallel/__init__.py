@@ -6,6 +6,13 @@ from .sharding import (
     psum_grads,
     update_grid_distributed,
 )
+from .multihost import (
+    init_distributed,
+    make_host_mesh,
+    batch_axes,
+    shard_host_batch,
+    psum_hierarchical,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +21,9 @@ __all__ = [
     "data_parallel",
     "psum_grads",
     "update_grid_distributed",
+    "init_distributed",
+    "make_host_mesh",
+    "batch_axes",
+    "shard_host_batch",
+    "psum_hierarchical",
 ]
