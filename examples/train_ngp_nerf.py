@@ -47,10 +47,24 @@ def huber(x, y, delta: float = 1.0):
     return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
 
 
+# MipNeRF-360 capture names (reference train_ngp_nerf.py scene choices):
+# these route --data_root through the COLMAP loader
+_MIPNERF360_SCENES = (
+    "garden", "bicycle", "bonsai", "counter", "kitchen", "room", "stump",
+)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", type=str, default="procedural")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument(
+        "--dataset", type=str, default="auto",
+        choices=["auto", "blender", "360"],
+        help="loader for --data_root scenes: blender transforms.json or "
+        "COLMAP 360_v2. auto = 360 for the MipNeRF-360 capture names, "
+        "blender otherwise",
+    )
     p.add_argument("--unbounded", action="store_true")
     p.add_argument("--max_steps", type=int, default=20000)
     p.add_argument("--num_rays", type=int, default=8192)
@@ -117,6 +131,11 @@ def main():
         "density)",
     )
     p.add_argument(
+        "--far_plane", type=float, default=0.0,
+        help="override the unbounded far plane (default: the "
+        "reference's 1e4)",
+    )
+    p.add_argument(
         "--near_plane", type=float, default=0.0,
         help="override the unbounded near plane (default: the "
         "reference's 0.2). For cameras far from the content a slack "
@@ -171,7 +190,17 @@ def main():
             width=args.image_size, height=args.image_size,
         )
     else:
-        from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
+        # reference train_ngp_nerf.py keys the loader off the scene name:
+        # MipNeRF-360 captures go through the COLMAP loader, everything
+        # else through the blender loader. --dataset overrides for
+        # non-standard scene names.
+        is_360 = args.dataset == "360" or (
+            args.dataset == "auto" and args.scene in _MIPNERF360_SCENES
+        )
+        if is_360:
+            from nerfacc_tpu.datasets.nerf_360_v2 import SubjectLoader
+        else:
+            from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
 
         scene = SubjectLoader(
             subject_id=args.scene, root_fp=args.data_root, split="train"
@@ -197,13 +226,19 @@ def main():
     render_bkgd = scene.bkgd
 
     if args.unbounded:
-        # reference train_ngp_nerf.py:87-94: unbounded config
+        # reference train_ngp_nerf.py:87-94: unbounded config. An
+        # explicitly-passed --grid_resolution / --far_plane overrides the
+        # reference defaults (256 / 1e4) — smoke tests and small captures
+        # don't need a 256^3 grid.
         contraction = ContractionType.UN_BOUNDED_SPHERE
-        near_plane, far_plane = args.near_plane or 0.2, 1e4
+        near_plane = args.near_plane or 0.2
+        far_plane = args.far_plane or 1e4
         render_step_size = 1e-2
         alpha_thre = 1e-2
         cone_angle = args.cone_angle or 0.004
-        grid_res = 256
+        grid_res = (
+            args.grid_resolution if args.grid_resolution != 128 else 256
+        )
         scene_aabb = None
     else:
         # bounded: step = diag * sqrt(3) / 1024 (train_ngp_nerf.py:149-153)

@@ -218,3 +218,24 @@ def test_train_dnerf_on_fixture(dnerf_root):
          "--test_chunk_size", "1152", "--eval_views", "1"],
     )
     assert psnr > 16.0, f"D-NeRF on fixture converged to {psnr}"
+
+
+def test_train_ngp_unbounded_on_colmap_fixture(colmap_root):
+    """The NGP CLI in --unbounded mode through the real COLMAP loader
+    (--dataset 360): COLMAP binary parsing -> shared-frame pose
+    normalization -> OpenCV rays -> sphere contraction -> cone marching
+    all through the on-disk format. Smoke thresholds: 200 steps on the
+    48x48 fixture reaches ~15 PSNR (the loader *correctness* oracle is
+    test_colmap_360_loader_roundtrip; this closes the training loop)."""
+    psnr = _run_script(
+        "train_ngp_nerf.py",
+        ["--scene", "procedural360", "--dataset", "360",
+         "--data_root", str(colmap_root), "--unbounded",
+         "--max_steps", "200", "--num_rays", "256",
+         "--grid_resolution", "64", "--far_plane", "30",
+         "--max_samples_per_ray", "1024",
+         "--samples_budget", "16384", "--visible_samples_budget", "8192",
+         "--test_chunk_size", "1152", "--eval_views", "1",
+         "--levels", "32x16,128x32"],
+    )
+    assert psnr > 13.0, f"unbounded NGP on COLMAP fixture: {psnr}"
