@@ -57,6 +57,12 @@ def main():
     )
     ap.add_argument("--iters", type=int, default=0, help="0 = per-model default")
     ap.add_argument("--n_rays", type=int, default=16384)
+    ap.add_argument(
+        "--ngp_xla_grad", action="store_true",
+        help="with --model ngp: use XLA's scatter-add table gradient "
+        "instead of the Pallas VMEM scatter kernel (the before/after "
+        "comparison in docs/benchmarks.md)",
+    )
     args = ap.parse_args()
 
     n_rays = args.n_rays
@@ -72,7 +78,8 @@ def main():
         iters = args.iters or 30
     else:
         field = NGPRadianceField(
-            aabb=tuple(float(v) for v in np.asarray(aabb))
+            aabb=tuple(float(v) for v in np.asarray(aabb)),
+            pallas_grad=not args.ngp_xla_grad,
         )
         iters = args.iters or 3  # gather-bound: whole steps cost seconds
     params = field.init(

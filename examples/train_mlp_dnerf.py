@@ -71,6 +71,9 @@ def main():
         "stride = coarse_stride)",
     )
     p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--warp_depth", type=int, default=4)
+    p.add_argument("--warp_width", type=int, default=64)
+    p.add_argument("--time_degree", type=int, default=4)
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -93,7 +96,10 @@ def main():
         scene.test_timestamps = test_scene.timestamps
     scene_aabb = scene.aabb
 
-    field = DNeRFRadianceField()
+    field = DNeRFRadianceField(
+        warp_depth=args.warp_depth, warp_width=args.warp_width,
+        time_degree=args.time_degree,
+    )
     key = jax.random.PRNGKey(42)
     key, k_init = jax.random.split(key)
     params = field.init(

@@ -13,8 +13,14 @@ gathers from an HBM-resident table. Design choices for TPU:
   * the spatial hash is the standard xor-of-primes
     (pi_1, pi_2, pi_3) = (1, 2654435761, 805459861) masked to T-1.
 
-A Pallas fused gather kernel can later replace the XLA gather; the module
-API stays the same.
+The *backward* is where XLA's lowering hurts most: grad-of-gather becomes
+an HBM scatter-add (serialized, ~10-170 ns/element on v5e), which
+dominates hash-NGP training steps. With ``pallas_grad=True`` (default,
+``n_features == 2`` only) the lookup+blend runs through
+:func:`nerfacc_tpu.ops.hash_gather.hash_encode_lookup`, whose custom
+backward accumulates each level's table gradient in a VMEM-resident
+Pallas kernel instead (see ``ops/hash_gather.py``); measured comparison
+in ``docs/benchmarks.md``.
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ class HashEncoder(nn.Module):
     base_resolution: int = 16
     per_level_scale: float = 1.4472692012786865
     param_dtype: jnp.dtype = jnp.float32
+    pallas_grad: bool = True
 
     def setup(self):
         T = 1 << self.log2_hashmap_size
@@ -116,13 +123,20 @@ class HashEncoder(nn.Module):
         ]
         flat_idx = (idx + level_offset).astype(jnp.int32)  # (N, L, 8)
 
-        vals = self.table[flat_idx.reshape(-1)].reshape(N, L, 8, F)
-        vals = vals.astype(jnp.float32)
-
         # trilinear blend: weight per corner = prod over dims of (w or 1-w)
         wx = jnp.where(offsets[None, None, :, 0] == 1, w[..., None, 0], 1 - w[..., None, 0])
         wy = jnp.where(offsets[None, None, :, 1] == 1, w[..., None, 1], 1 - w[..., None, 1])
         wz = jnp.where(offsets[None, None, :, 2] == 1, w[..., None, 2], 1 - w[..., None, 2])
         cw = (wx * wy * wz).astype(jnp.float32)  # (N, L, 8)
-        out = (vals * cw[..., None]).sum(axis=2)  # (N, L, F)
+
+        if self.pallas_grad and F == 2:
+            from ..ops.hash_gather import hash_encode_lookup
+
+            out = hash_encode_lookup(
+                self.table.astype(jnp.float32), flat_idx, cw, T
+            )
+        else:
+            vals = self.table[flat_idx.reshape(-1)].reshape(N, L, 8, F)
+            vals = vals.astype(jnp.float32)
+            out = (vals * cw[..., None]).sum(axis=2)  # (N, L, F)
         return out.reshape(N, L * F)

@@ -146,15 +146,24 @@ class VanillaNeRFRadianceField(nn.Module):
 
 class DNeRFRadianceField(nn.Module):
     """Time-conditioned deformation field + vanilla NeRF
-    (reference ``mlp.py:248-283``)."""
+    (reference ``mlp.py:248-283``).
+
+    ``warp_depth`` / ``warp_width`` / ``time_degree`` expose the warp
+    head's capacity (reference defaults 4 / 64 / 4) for quality sweeps
+    on scenes with large motion amplitudes.
+    """
+
+    warp_depth: int = 4
+    warp_width: int = 64
+    time_degree: int = 4
 
     def setup(self):
         self.posi_encoder = SinusoidalEncoder(3, 0, 4, True)
-        self.time_encoder = SinusoidalEncoder(1, 0, 4, True)
+        self.time_encoder = SinusoidalEncoder(1, 0, self.time_degree, True)
         self.warp = MLP(
             output_dim=3,
-            net_depth=4,
-            net_width=64,
+            net_depth=self.warp_depth,
+            net_width=self.warp_width,
             skip_layer=2,
             output_kernel_init=nn.initializers.uniform(scale=1e-4),
         )

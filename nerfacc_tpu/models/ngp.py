@@ -107,11 +107,13 @@ class NGPRadianceField(nn.Module):
     geo_feat_dim: int = 15
     n_levels: int = 16
     log2_hashmap_size: int = 19
+    pallas_grad: bool = True
 
     def setup(self):
         self.encoder = HashEncoder(
             n_levels=self.n_levels,
             log2_hashmap_size=self.log2_hashmap_size,
+            pallas_grad=self.pallas_grad,
         )
         self.mlp_base = _SmallMLP(1 + self.geo_feat_dim, n_hidden=1)
         self.mlp_head = _SmallMLP(3, n_hidden=2)

@@ -105,3 +105,49 @@ def test_tensocp_model_kernel_vs_xla():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sig_k), np.asarray(sig_x),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_hash_grad_scatter_matches_xla():
+    from nerfacc_tpu.ops.hash_gather import hash_grad_scatter
+
+    rng = np.random.RandomState(7)
+    T, B = 512, 3000
+    idx = jnp.asarray(rng.randint(0, T, B), jnp.int32)
+    # include padding markers (-1 rows must be skipped)
+    idx = idx.at[::17].set(-1)
+    v = jnp.asarray(rng.randn(B, 2), jnp.float32)
+    got = hash_grad_scatter(idx, v, T)
+    want = jnp.zeros((T, 2)).at[jnp.where(idx >= 0, idx, 0)].add(
+        jnp.where(idx[:, None] >= 0, v, 0.0)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hash_encoder_pallas_grad_matches_xla():
+    from nerfacc_tpu.models import HashEncoder
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(200, 3), jnp.float32)
+    g = jnp.asarray(rng.randn(200, 8), jnp.float32)
+    kw = dict(n_levels=4, log2_hashmap_size=10, base_resolution=4)
+    enc_p = HashEncoder(pallas_grad=True, **kw)
+    enc_x = HashEncoder(pallas_grad=False, **kw)
+    params = enc_p.init(jax.random.PRNGKey(0), x)
+
+    out_p = enc_p.apply(params, x)
+    out_x = enc_x.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(enc):
+        def f(p):
+            return jnp.sum(enc.apply(p, x) * g)
+        return f
+
+    gp = jax.grad(loss(enc_p))(params)
+    gx = jax.grad(loss(enc_x))(params)
+    np.testing.assert_allclose(
+        np.asarray(gp["params"]["table"]), np.asarray(gx["params"]["table"]),
+        rtol=1e-4, atol=1e-6,
+    )
