@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--iters", type=int, default=0, help="0 = per-model default")
     ap.add_argument("--n_rays", type=int, default=16384)
     ap.add_argument(
+        "--no_fused_march", action="store_true",
+        help="disable the fused Pallas march-select kernel (XLA op-chain "
+        "selection instead) — the before/after comparison in "
+        "docs/benchmarks.md",
+    )
+    ap.add_argument(
         "--ngp_xla_grad", action="store_true",
         help="with --model ngp: use XLA's scatter-add table gradient "
         "instead of the Pallas VMEM scatter kernel (the before/after "
@@ -114,6 +120,7 @@ def main():
         # in-range span (vs 64 fixed-stride groups, most of them beyond
         # t_max) — fewer lookups and finer probes on short rays
         probe_groups=32,
+        use_pallas=False if args.no_fused_march else None,
     )
 
     # donating params/opt_state/n_acc lets XLA update them in place

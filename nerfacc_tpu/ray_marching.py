@@ -366,6 +366,7 @@ def march_rays(
     probe_dilation: int = 1,
     exact_recheck: bool = True,
     probe_groups: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> RaySegments:
     """Grid-accelerated marching into a dense (n_rays, K) slot layout.
 
@@ -385,6 +386,11 @@ def march_rays(
     arrays via :func:`select_slots_grouped` — the sample sets match the
     C=1 path exactly up to dilation positives, which the per-slot exact
     re-check removes.
+
+    ``use_pallas`` (default: auto — on for TPU backends) runs the fused
+    selection + lattice kernel (:mod:`nerfacc_tpu.ops.march_select`) on
+    the grouped path instead of the unfused XLA op chain; numerically
+    identical, one program instead of the region's many small fusions.
     """
     n_rays = rays_o.shape[0]
     S, K, C = max_samples_per_ray, slots_per_ray, coarse_stride
@@ -410,6 +416,20 @@ def march_rays(
             S,
         ).astype(jnp.int32)
         _, group_size = _probe_layout(k_in, S, C, probe_groups)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        if use_pallas:
+            from .ops.march_select import fused_select_grouped
+
+            t_starts, t_ends, deltas, ok = fused_select_grouped(
+                live_g, group_size, t_min,
+                k_slots=K, step_size=render_step_size,
+                cone_angle=cone_angle, dt_max=dt_max,
+            )
+            return _finish_segments(
+                rays_o, rays_d, t_starts, t_ends, deltas, ok, grid,
+                exact_recheck=C > 1 and exact_recheck,
+            )
         pos, ok, scale = select_slots_grouped(live_g, group_size, K)
     else:
         k = jnp.arange(S, dtype=jnp.float32)[None, :]
@@ -457,16 +477,73 @@ def march_rays(
         )
         - t_starts
     )
-    masks = ok
-    if grid is not None and C > 1 and exact_recheck:
-        # exact re-check of the selected slots (removes dilation positives).
-        # ~2 ms/step at 786k slots (row gather + lane select); turning it
-        # off composites dilation-shell samples (the field reads ~0 density
-        # there once trained) — measure quality before disabling.
+    return _finish_segments(
+        rays_o, rays_d, t_starts, t_ends, deltas, ok, grid,
+        exact_recheck=grid is not None and C > 1 and exact_recheck,
+    )
+
+
+def _finish_segments(
+    rays_o, rays_d, t_starts, t_ends, deltas, masks, grid, exact_recheck
+) -> RaySegments:
+    """Optional exact per-slot occupancy re-check + RaySegments assembly.
+
+    The re-check removes dilation positives from the strided probe march:
+    ~2 ms/step at 786k slots (bit-table row gather + lane select); turning
+    it off composites dilation-shell samples (the field reads ~0 density
+    there once trained) — measured -6.6 dB, so it stays on by default.
+    """
+    if exact_recheck:
         mid = (t_starts + t_ends) * 0.5
         xyz = rays_o[:, None, :] + mid[..., None] * rays_d[:, None, :]
         masks = masks & grid.query_occ_fast(xyz)
-    return RaySegments(t_starts=t_starts, t_ends=t_ends, deltas=deltas, masks=masks)
+    return RaySegments(
+        t_starts=t_starts, t_ends=t_ends, deltas=deltas, masks=masks
+    )
+
+
+def reselect_visible(
+    segs: RaySegments, k2: int, use_pallas: Optional[bool] = None
+) -> RaySegments:
+    """Stage-2 re-selection: re-pack each ray's live samples into ``k2``
+    slots (the reference's cull-then-render recompaction,
+    ``ray_marching.py:216-220`` — there a boolean-mask gather, here a
+    static-shape rank selection).
+
+    Decimation-group widths are exact: groups tile the live slots
+    contiguously in rank order, so group j's width is the span of the
+    masked-delta cumsum from its own start to the next group's start
+    (the total for the last live group) — exact even when the source
+    deltas are themselves widened.
+
+    ``use_pallas`` (default auto) runs the fused kernel
+    (:func:`nerfacc_tpu.ops.march_select.fused_reselect`) instead of the
+    select + gather + width-algebra op chain.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from .ops.march_select import fused_reselect
+
+        ts2, te2, dt2, ok2 = fused_reselect(
+            segs.masks, segs.t_starts, segs.t_ends, segs.deltas, k2=k2
+        )
+        return RaySegments(t_starts=ts2, t_ends=te2, deltas=dt2, masks=ok2)
+    pos2, ok2, _ = select_slots(segs.masks, k2)
+    d_live = jnp.where(segs.masks, segs.deltas, 0.0)
+    cd = jnp.cumsum(d_live, axis=1)  # inclusive
+    start_excl = gather_rows_dense(cd, pos2) - gather_rows_dense(d_live, pos2)
+    ok_next = jnp.concatenate(
+        [ok2[:, 1:], jnp.zeros_like(ok2[:, :1])], axis=1
+    )
+    next_start = jnp.concatenate([start_excl[:, 1:], cd[:, -1:]], axis=1)
+    widths = jnp.where(ok_next, next_start, cd[:, -1:]) - start_excl
+    return RaySegments(
+        t_starts=gather_rows_dense(segs.t_starts, pos2),
+        t_ends=gather_rows_dense(segs.t_ends, pos2),
+        deltas=jnp.where(ok2, widths, 0.0),
+        masks=ok2,
+    )
 
 
 def _resolve_t_range(
@@ -530,6 +607,7 @@ def ray_marching(
     probe_dilation: int = 1,
     probe_groups: Optional[int] = None,
     exact_recheck: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> PackedSamples:
     """March rays with empty/occluded-space skipping (reference
     ``ray_marching.py:13-222``), flat packed output.
@@ -587,6 +665,7 @@ def ray_marching(
         probe_dilation=probe_dilation,
         probe_groups=probe_groups,
         exact_recheck=exact_recheck,
+        use_pallas=use_pallas,
     )
 
     # visibility culling (reference ray_marching.py:192-220)
@@ -610,30 +689,7 @@ def ray_marching(
         segs = segs._replace(masks=segs.masks & vis)
         if visible_samples_budget is not None:
             K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
-            pos2, ok2, _ = select_slots(segs.masks, K2)
-            # Exact decimation-group widths: groups tile the live slots
-            # contiguously in rank order, so group j's width is the span
-            # of the masked-delta cumsum from its own start to the next
-            # group's start (the total for the last live group) — exact
-            # even when the source deltas are themselves widened.
-            d_live = jnp.where(segs.masks, segs.deltas, 0.0)
-            cd = jnp.cumsum(d_live, axis=1)  # inclusive
-            start_excl = gather_rows_dense(cd, pos2) - gather_rows_dense(
-                d_live, pos2
-            )
-            ok_next = jnp.concatenate(
-                [ok2[:, 1:], jnp.zeros_like(ok2[:, :1])], axis=1
-            )
-            next_start = jnp.concatenate(
-                [start_excl[:, 1:], cd[:, -1:]], axis=1
-            )
-            widths = jnp.where(ok_next, next_start, cd[:, -1:]) - start_excl
-            segs = RaySegments(
-                t_starts=gather_rows_dense(segs.t_starts, pos2),
-                t_ends=gather_rows_dense(segs.t_ends, pos2),
-                deltas=jnp.where(ok2, widths, 0.0),
-                masks=ok2,
-            )
+            segs = reselect_visible(segs, K2, use_pallas=use_pallas)
 
     return _flatten_segments(segs)
 

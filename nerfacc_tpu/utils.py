@@ -24,6 +24,7 @@ from .ray_marching import (
     gather_rows_dense,
     march_rays,
     probe_live_groups,
+    reselect_visible,
     select_slots,
     RaySegments,
 )
@@ -133,6 +134,7 @@ def render_rays(
     aux=None,
     return_compact=False,
     probe_groups=None,
+    use_pallas=None,
 ):
     """Render one ray batch: march (no grad) + composite (with grad).
 
@@ -239,6 +241,7 @@ def render_rays(
         probe_dilation=probe_dilation,
         exact_recheck=exact_recheck,
         probe_groups=probe_groups,
+        use_pallas=use_pallas,
     )
     if ray_sel is not None:
         segs = segs._replace(masks=segs.masks & ray_sel[1][:, None])
@@ -261,13 +264,8 @@ def render_rays(
         )
         masks = segs.masks & vis
         K2 = min(K, max(1, -(-visible_samples_budget // n_rays)))
-        pos2, ok2, scale2 = select_slots(masks, K2)
-        segs = RaySegments(
-            t_starts=gather_rows_dense(segs.t_starts, pos2),
-            t_ends=gather_rows_dense(segs.t_ends, pos2),
-            deltas=gather_rows_dense(segs.deltas, pos2)
-            * scale2.astype(jnp.float32),
-            masks=ok2,
+        segs = reselect_visible(
+            segs._replace(masks=masks), K2, use_pallas=use_pallas
         )
 
     # grad-tracked field query + composite

@@ -39,6 +39,23 @@ CONFIGS = {
         "--max_steps", "10000", "--compact_rays", "0.9",
         "--train_views", "64", "--lr_decay", "--eval_views", "4",
     ],
+    # cone-angle marching on the occupancy-grid path (VERDICT #5): the
+    # lattice march diverges from the reference by not resetting the
+    # step-growth clock inside skipped space (ray_marching.py module
+    # docstring); these two configs measure that divergence's quality
+    # cost against the cone=0 baseline on the same scene + step budget.
+    "tensorf_cone_1k": _TENSORF_BASE
+    + ["--max_steps", "1000", "--cone_angle", "0.004"],
+    "tensorf_cone_unbounded_2k": [
+        "examples/train_ngp_nerf.py", "--model", "tensorf",
+        "--scene", "procedural360", "--unbounded",
+        "--max_steps", "2000", "--num_rays", "4096",
+        "--image_size", "96", "--grid_resolution", "128",
+        "--samples_budget", "262144", "--visible_samples_budget", "131072",
+        "--test_chunk_size", "2048", "--eval_views", "3",
+        "--train_views", "64", "--coarse_stride", "16",
+        "--probe_groups", "32", "--fixed_occ_thre", "1", "--occ_cone_coupling", "1",
+    ],
     "vanilla_2k": [
         "examples/train_mlp_nerf.py",
         "--max_steps", "2000", "--num_rays", "4096",

@@ -151,3 +151,90 @@ def test_hash_encoder_pallas_grad_matches_xla():
         np.asarray(gp["params"]["table"]), np.asarray(gx["params"]["table"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_fused_select_grouped_matches_xla():
+    # the fused march-select kernel vs the unfused select_slots_grouped +
+    # _lattice_t path, over both cone regimes and ragged ray counts
+    from nerfacc_tpu.ops.march_select import fused_select_grouped
+    from nerfacc_tpu.ray_marching import _lattice_t, select_slots_grouped
+
+    rng = np.random.RandomState(4)
+    R, G, K, C = 300, 32, 24, 16
+    for cone in (0.0, 0.004):
+        live = jnp.asarray(
+            rng.randint(0, C + 1, size=(R, G))
+            * (rng.rand(R, G) < 0.4),
+            jnp.int32,
+        )
+        gsize = jnp.asarray(rng.randint(1, C + 1, size=(R, 1)), jnp.int32)
+        live = jnp.minimum(live, gsize)
+        t_min = jnp.asarray(rng.rand(R) * 0.5 + 0.05, jnp.float32)
+        step, dt_max = 5e-3, 1e10
+
+        pos, ok, scale = select_slots_grouped(live, gsize, K)
+        lat = lambda k: _lattice_t(t_min[:, None], k.astype(jnp.float32),
+                                   step, cone, dt_max)
+        want_ts, want_te = lat(pos), lat(pos + 1)
+        want_dt = lat(pos + scale) - want_ts
+
+        ts, te, dt, got_ok = fused_select_grouped(
+            live, gsize, t_min, k_slots=K, step_size=step,
+            cone_angle=cone, dt_max=dt_max,
+        )
+        # tolerances at f32-FMA scale: XLA contracts mul-adds, the
+        # interpreter does not — ~1e-7 relative noise, not a logic gap
+        np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ok))
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(want_ts),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(te), np.asarray(want_te),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dt), np.asarray(want_dt),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_march_rays_pallas_path_matches_xla():
+    # whole-march equivalence: use_pallas=True vs False through march_rays
+    from nerfacc_tpu import create_grid, with_binary
+    from nerfacc_tpu.ray_marching import march_rays
+
+    rng = np.random.RandomState(5)
+    n = 64
+    aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    binary = np.zeros((32, 32, 32), bool)
+    binary[8:24, 8:24, 8:24] = True
+    grid = with_binary(create_grid(aabb, resolution=32), jnp.asarray(binary))
+    rays_o = jnp.asarray(rng.rand(n, 3) * 2 - 1, jnp.float32) * 1.4
+    d = rng.randn(n, 3)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                         jnp.float32)
+    t_min = jnp.zeros((n,), jnp.float32)
+    t_max = jnp.full((n,), 4.0, jnp.float32)
+    kw = dict(render_step_size=1e-2, max_samples_per_ray=512,
+              slots_per_ray=32, coarse_stride=8, probe_dilation=1,
+              probe_groups=16)
+    a = march_rays(rays_o, rays_d, t_min, t_max, grid, use_pallas=True, **kw)
+    b = march_rays(rays_o, rays_d, t_min, t_max, grid, use_pallas=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.masks), np.asarray(b.masks))
+    np.testing.assert_allclose(np.asarray(a.t_starts), np.asarray(b.t_starts),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.deltas), np.asarray(b.deltas),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_reselect_matches_xla():
+    from nerfacc_tpu.ray_marching import RaySegments, reselect_visible
+
+    rng = np.random.RandomState(6)
+    R, K, K2 = 200, 48, 16
+    masks = jnp.asarray(rng.rand(R, K) < 0.3)
+    ts = jnp.asarray(np.sort(rng.rand(R, K), axis=1), jnp.float32)
+    dt = jnp.asarray(rng.rand(R, K) * 0.01 + 1e-3, jnp.float32)
+    segs = RaySegments(t_starts=ts, t_ends=ts + dt, deltas=dt, masks=masks)
+    a = reselect_visible(segs, K2, use_pallas=True)
+    b = reselect_visible(segs, K2, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(a.masks), np.asarray(b.masks))
+    for x, y in ((a.t_starts, b.t_starts), (a.t_ends, b.t_ends),
+                 (a.deltas, b.deltas)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
