@@ -21,12 +21,10 @@ import numpy as np
 
 from .ray_marching import (
     _resolve_t_range,
-    gather_rows_dense,
     march_rays,
     probe_live_groups,
     reselect_visible,
     select_slots,
-    RaySegments,
 )
 from .vol_rendering import (
     accumulate_along_rays_dense,
