@@ -188,3 +188,62 @@ def test_update_grid_distributed_honors_fixed_threshold():
         occ_thre=1e-2, adaptive_thre=True,
     )
     assert int(single_adaptive.binary.sum()) > 0
+
+
+def test_sharded_render_with_fused_march_kernels():
+    """The fused Pallas march kernels compose with shard_map: each shard
+    runs its own kernel instance on its local ray block (interpret mode
+    on the CPU mesh; identical program on real chips)."""
+    mesh = make_mesh()
+
+    n_rays = 64
+    rng = np.random.RandomState(7)
+    rays_o = jnp.asarray(rng.rand(n_rays, 3) * 2 - 1, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n_rays, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    field = VanillaNeRFRadianceField(net_depth=2, net_width=32)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+    )
+    grid = create_grid([-1.5] * 3 + [1.5] * 3, resolution=16, occupied=True)
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+
+    kwargs = dict(
+        scene_aabb=aabb, render_step_size=5e-2, max_samples_per_ray=64,
+        coarse_stride=8, probe_groups=8, visible_samples_budget=None,
+    )
+
+    def local_render(params, grid, o, d, use_pallas):
+        colors, opacities, _, _ = render_rays(
+            params, field, o, d, grid=grid, render_bkgd=jnp.ones(3),
+            samples_budget=(o.shape[0] * 32), use_pallas=use_pallas,
+            **kwargs,
+        )
+        return colors, opacities
+
+    ref_c, ref_o = jax.jit(
+        lambda p, g, o, d: local_render(p, g, o, d, False)
+    )(params, grid, rays_o, rays_d)
+
+    sharded = jax.jit(
+        shard_map(
+            lambda p, g, o, d: local_render(p, g, o, d, True),
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_rep=False,
+        )
+    )
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    grid_r = jax.device_put(grid, NamedSharding(mesh, P()))
+    o_s = jax.device_put(rays_o, NamedSharding(mesh, P("data")))
+    d_s = jax.device_put(rays_d, NamedSharding(mesh, P("data")))
+    got_c, got_o = sharded(params_r, grid_r, o_s, d_s)
+
+    np.testing.assert_allclose(
+        np.asarray(got_c), np.asarray(ref_c), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_o), np.asarray(ref_o), rtol=1e-4, atol=1e-5
+    )
