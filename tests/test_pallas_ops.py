@@ -238,3 +238,28 @@ def test_fused_reselect_matches_xla():
                  (a.deltas, b.deltas)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_select_grouped_padding_path():
+    # R > BLK exercises the grid + tail-padding path
+    from nerfacc_tpu.ops.march_select import fused_select_grouped
+    from nerfacc_tpu.ray_marching import _lattice_t, select_slots_grouped
+
+    rng = np.random.RandomState(8)
+    R, G, K, C = 1300, 16, 8, 8
+    live = jnp.asarray(
+        rng.randint(0, C + 1, size=(R, G)) * (rng.rand(R, G) < 0.5),
+        jnp.int32,
+    )
+    gsize = jnp.asarray(rng.randint(1, C + 1, size=(R, 1)), jnp.int32)
+    live = jnp.minimum(live, gsize)
+    t_min = jnp.asarray(rng.rand(R), jnp.float32)
+    pos, ok, scale = select_slots_grouped(live, gsize, K)
+    ts, te, dt, got_ok = fused_select_grouped(
+        live, gsize, t_min, k_slots=K, step_size=1e-2,
+    )
+    assert ts.shape == (R, K)
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ok))
+    want_ts = _lattice_t(t_min[:, None], pos.astype(jnp.float32), 1e-2, 0.0)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(want_ts),
+                               rtol=1e-5, atol=1e-6)
