@@ -71,6 +71,11 @@ def main():
         "stride = coarse_stride)",
     )
     p.add_argument("--image_size", type=int, default=128)
+    p.add_argument(
+        "--train_views", type=int, default=24,
+        help="procedural scene: training views (each carries a unique "
+        "timestamp, so temporal coverage of the motion scales with it)",
+    )
     p.add_argument("--warp_depth", type=int, default=4)
     p.add_argument("--warp_width", type=int, default=64)
     p.add_argument("--time_degree", type=int, default=4)
@@ -80,7 +85,8 @@ def main():
         from nerfacc_tpu.datasets import ProceduralDynamicScene
 
         scene = ProceduralDynamicScene(
-            width=args.image_size, height=args.image_size
+            width=args.image_size, height=args.image_size,
+            n_views=args.train_views,
         )
     else:
         from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
