@@ -64,6 +64,24 @@ def main():
         "docs/benchmarks.md",
     )
     ap.add_argument(
+        "--quant_int8", action="store_true",
+        help="with --model tensorf: run the CP forward contractions on "
+        "the int8 MXU (2x the bf16 rate; basis quantization = 1/127-voxel "
+        "positional rounding, exact bf16 backward)",
+    )
+    ap.add_argument(
+        "--visible_budget_ratio", type=float, default=0.0,
+        help="> 0 enables the two-stage cull-then-render path (the "
+        "flagship quality config uses 0.5): stage-1 density-only pass + "
+        "visibility culling, then the grad-tracked render on "
+        "ratio * samples_budget re-selected visible slots",
+    )
+    ap.add_argument(
+        "--trace", type=str, default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the timed loop into DIR "
+        "(parse with scripts/xplane.py for the per-op step anatomy)",
+    )
+    ap.add_argument(
         "--ngp_xla_grad", action="store_true",
         help="with --model ngp: use XLA's scatter-add table gradient "
         "instead of the Pallas VMEM scatter kernel (the before/after "
@@ -79,7 +97,8 @@ def main():
     # NGP hash-grid example; TensoCP is its TPU-native equivalent)
     if args.model == "tensorf":
         field = TensoCPRadianceField(
-            aabb=tuple(float(v) for v in np.asarray(aabb))
+            aabb=tuple(float(v) for v in np.asarray(aabb)),
+            quant_int8=args.quant_int8,
         )
         iters = args.iters or 30
     else:
@@ -122,6 +141,10 @@ def main():
         probe_groups=32,
         use_pallas=False if args.no_fused_march else None,
     )
+    if args.visible_budget_ratio > 0:
+        kwargs["visible_samples_budget"] = int(
+            samples_budget * args.visible_budget_ratio
+        )
 
     # donating params/opt_state/n_acc lets XLA update them in place
     # (saves ~0.7 ms/step of whole-pytree copies)
@@ -162,12 +185,20 @@ def main():
     np.asarray(loss)
     n_acc = jnp.zeros((), jnp.int32)
 
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(args.trace)
+        if args.trace
+        else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
-    for i in range(1, iters + 1):
-        params, opt_state, n_acc, loss = train_step(
-            params, opt_state, n_acc, o[i], d[i], px[i]
-        )
-    n_total = int(np.asarray(n_acc))  # device->host read: real sync point
+    with trace_cm:
+        for i in range(1, iters + 1):
+            params, opt_state, n_acc, loss = train_step(
+                params, opt_state, n_acc, o[i], d[i], px[i]
+            )
+        n_total = int(np.asarray(n_acc))  # device->host read: real sync
     dt = time.perf_counter() - t0
 
     samples_per_s = n_total / dt
@@ -180,6 +211,8 @@ def main():
                 "vs_baseline": round(samples_per_s / REFERENCE_SAMPLES_PER_S, 3),
                 "model": args.model,
                 "grid": args.grid,
+                "quant_int8": args.quant_int8,
+                "visible_budget_ratio": args.visible_budget_ratio,
             }
         )
     )

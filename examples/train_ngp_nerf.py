@@ -84,6 +84,10 @@ def main():
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument("--cone_angle", type=float, default=0.0)
     p.add_argument(
+        "--quant_int8", action="store_true",
+        help="TensoCP: int8-MXU forward contractions (see bench.py)",
+    )
+    p.add_argument(
         "--auto_aabb", action="store_true",
         help="infer the scene aabb from the camera positions "
         "(reference train_ngp_nerf.py:125-132)",
@@ -257,7 +261,8 @@ def main():
     )
     if args.model == "tensorf":
         field = TensoCPRadianceField(
-            aabb=aabb, unbounded=args.unbounded, levels=p_levels
+            aabb=aabb, unbounded=args.unbounded, levels=p_levels,
+            quant_int8=args.quant_int8,
         )
     else:
         field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)

@@ -160,13 +160,14 @@ def main(argv):
             top = int(args.pop(0))
         else:
             path = a
-    if path is None:
+    if path is None or os.path.isdir(path):
+        root = path or "/tmp/jax_trace"
         cands = sorted(
-            glob.glob("/tmp/jax_trace/**/*.xplane.pb", recursive=True),
+            glob.glob(f"{root}/**/*.xplane.pb", recursive=True),
             key=os.path.getmtime,
         )
         if not cands:
-            print("no trace found under /tmp/jax_trace", file=sys.stderr)
+            print(f"no trace found under {root}", file=sys.stderr)
             return 1
         path = cands[-1]
     print(f"# {path}")

@@ -179,3 +179,55 @@ def test_tensocp_overfits_point():
     for _ in range(60):
         params, state, loss = step(params, state)
     assert float(loss) < float(loss0) * 0.7, (float(loss0), float(loss))
+
+
+def test_tensocp_int8_matches_float_path():
+    """quant_int8: forward within quantization tolerance of the default
+    path; table gradients match the exact bf16 formulation; positions get
+    zero cotangent (sampling is stop-gradient)."""
+    from nerfacc_tpu.models import TensoCPRadianceField
+    from nerfacc_tpu.models.tensorf import _hat_matmul_int8, hat_basis
+
+    # --- unit level: int8 forward vs exact f32 hat matmul
+    r = np.random.RandomState(0)
+    u = jnp.asarray(r.rand(64) * 15.0, jnp.float32)  # node units, G=16
+    table = jnp.asarray(r.randn(16, 8) * 0.2, jnp.float32)
+    out_q = _hat_matmul_int8(u, table)
+    out_f = hat_basis(u / 15.0, 16) @ table
+    # basis rounds to 1/127, table to 1/127 of its column abs-max
+    tol = float(jnp.abs(table).max()) * (2.0 / 127.0) * 2.0
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(out_f), atol=tol
+    )
+
+    # --- gradient: d_table == exact basis^T @ g; d_u == 0
+    g = jnp.asarray(r.randn(64, 8), jnp.float32)
+    du, dt = jax.vjp(_hat_matmul_int8, u, table)[1](g)
+    dt_ref = hat_basis(u / 15.0, 16).T @ g
+    np.testing.assert_allclose(
+        np.asarray(dt), np.asarray(dt_ref), rtol=0.02, atol=0.02
+    )
+    np.testing.assert_allclose(np.asarray(du), 0.0)
+
+    # --- field level: same API, close outputs, finite local grads
+    aabb = (0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    x = jnp.asarray(r.rand(32, 3), jnp.float32)
+    d = jnp.asarray(r.randn(32, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    fq = TensoCPRadianceField(
+        aabb=aabb, levels=((16, 8),), quant_int8=True
+    )
+    ff = TensoCPRadianceField(aabb=aabb, levels=((16, 8),))
+    params = ff.init(jax.random.PRNGKey(0), x, d)
+    rgb_q, sig_q = fq.apply(params, x, d)
+    rgb_f, sig_f = ff.apply(params, x, d)
+    np.testing.assert_allclose(
+        np.asarray(rgb_q), np.asarray(rgb_f), atol=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(sig_q), np.asarray(sig_f), rtol=0.2, atol=0.05
+    )
+    grads = jax.grad(lambda p: fq.apply(p, x, d)[1].sum())(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
