@@ -77,6 +77,11 @@ def main():
         "ratio * samples_budget re-selected visible slots",
     )
     ap.add_argument(
+        "--mode", choices=["train", "eval"], default="train",
+        help="train: full differentiable step (the headline metric); "
+        "eval: forward-only render (inference rays/s + samples/s)",
+    )
+    ap.add_argument(
         "--trace", type=str, default=None, metavar="DIR",
         help="capture a jax.profiler trace of the timed loop into DIR "
         "(parse with scripts/xplane.py for the per-op step anatomy)",
@@ -145,6 +150,46 @@ def main():
         kwargs["visible_samples_budget"] = int(
             samples_budget * args.visible_budget_ratio
         )
+
+    if args.mode == "eval":
+        # inference path: forward-only render (no grad, no optimizer)
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def eval_step(params, grid, n_acc, rays_o, rays_d):
+            colors, _, _, n = render_rays(
+                params, field, rays_o, rays_d, grid=grid,
+                render_bkgd=jnp.ones(3), **kwargs,
+            )
+            return n_acc + n, colors
+
+        r = np.random.RandomState(0)
+        o = jnp.asarray(r.rand(iters + 1, n_rays, 3) * 2 - 1, jnp.float32)
+        d = jnp.asarray(r.randn(iters + 1, n_rays, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        n_acc = jnp.zeros((), jnp.int32)
+        n_acc, colors = eval_step(params, grid, n_acc, o[0], d[0])
+        np.asarray(colors[:1])  # true sync (host read)
+        n_acc = jnp.zeros((), jnp.int32)
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            n_acc, colors = eval_step(params, grid, n_acc, o[i], d[i])
+        n_total = int(np.asarray(n_acc))
+        dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "eval_samples_per_s_per_chip",
+                    "value": round(n_total / dt, 1),
+                    "unit": "samples/s",
+                    "vs_baseline": round(
+                        n_total / dt / REFERENCE_SAMPLES_PER_S, 3
+                    ),
+                    "rays_per_s": round(iters * n_rays / dt, 1),
+                    "model": args.model,
+                    "grid": args.grid,
+                }
+            )
+        )
+        return
 
     # donating params/opt_state/n_acc lets XLA update them in place
     # (saves ~0.7 ms/step of whole-pytree copies)

@@ -34,6 +34,10 @@ run q_int8_1k python examples/train_ngp_nerf.py --model tensorf \
     --test_chunk_size 4096 --eval_views 3 --coarse_stride 16 \
     --probe_groups 32 --max_steps 1000 --quant_int8
 
+# inference-path throughput (forward-only render)
+run bench_eval        python bench.py --mode eval
+run bench_eval_2stage python bench.py --mode eval --visible_budget_ratio 0.5
+
 # post-fused step anatomy trace
 run bench_trace python bench.py --trace /tmp/r2_trace
 run xplane python scripts/xplane.py /tmp/r2_trace
