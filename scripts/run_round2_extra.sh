@@ -34,6 +34,15 @@ run q_int8_1k python examples/train_ngp_nerf.py --model tensorf \
     --test_chunk_size 4096 --eval_views 3 --coarse_stride 16 \
     --probe_groups 32 --max_steps 1000 --quant_int8
 
+# D-NeRF: low time-degree (the GT motion is one cycle; high-frequency
+# time features can only overfit the sparse train-time samples)
+DN=(examples/train_mlp_dnerf.py --max_steps 2000 --num_rays 2048
+    --image_size 96 --grid_resolution 96 --samples_budget 65536
+    --test_chunk_size 2048 --eval_views 2)
+run dn_tdeg2 python "${DN[@]}" --train_views 64 --time_degree 2
+run dn_tdeg2_5k python "${DN[@]}" --max_steps 5000 --train_views 64 \
+    --time_degree 2
+
 # inference-path throughput (forward-only render)
 run bench_eval        python bench.py --mode eval
 run bench_eval_2stage python bench.py --mode eval --visible_budget_ratio 0.5
