@@ -260,6 +260,14 @@ def main():
         if step % 500 == 0 or step == args.max_steps - 1:
             print(f"step={step} loss={float(loss):.5f} "
                   f"elapsed={time.perf_counter()-t0:.1f}s")
+    float(loss)  # sync before reading the train clock
+    train_elapsed = time.perf_counter() - t0
+    # rendered samples/step: proposal coarse pass + main fine pass (both
+    # composited) — the proposal-path analogue of bench.py's metric
+    sps = args.max_steps * args.num_rays * (
+        args.n_coarse + args.n_fine
+    ) / train_elapsed
+    print(f"train_samples_per_s: {sps:.0f}")
 
     # eval
     @jax.jit

@@ -43,6 +43,10 @@ run dn_tdeg2 python "${DN[@]}" --train_views 64 --time_degree 2
 run dn_tdeg2_5k python "${DN[@]}" --max_steps 5000 --train_views 64 \
     --time_degree 2
 
+# proposal-pipeline throughput + quality (the grid-free flagship)
+run prop_2k python examples/train_proposal_nerf.py --max_steps 2000 \
+    --num_rays 4096 --train_views 64 --eval_views 3
+
 # inference-path throughput (forward-only render)
 run bench_eval        python bench.py --mode eval
 run bench_eval_2stage python bench.py --mode eval --visible_budget_ratio 0.5
