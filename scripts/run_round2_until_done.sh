@@ -44,10 +44,25 @@ DN=(examples/train_mlp_dnerf.py --max_steps 2000 --num_rays 2048
     --image_size 96 --grid_resolution 96 --samples_budget 65536
     --test_chunk_size 2048 --eval_views 2)
 
+probe() {
+  # Fast liveness gate: scripts/tpu_probe.py completes in seconds when
+  # the tunnel is up; when the server side is down it hangs in the
+  # session wait (claim_timeout_s does NOT bound that phase — measured),
+  # so an outer timeout kills it. Safe: a client that never got a grant
+  # holds nothing server-side.
+  env -u PALLAS_AXON_POOL_IPS timeout 300 \
+    python scripts/tpu_probe.py 240 > .bench_logs/probe.log 2>&1
+}
+
 pass=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  if ! probe; then
+    echo "=== tunnel down $(date +%H:%M:%S); re-probing in 120s"
+    sleep 120
+    continue
+  fi
   pass=$((pass + 1))
-  echo "=== pass $pass $(date +%H:%M:%S)"
+  echo "=== pass $pass $(date +%H:%M:%S) (tunnel up)"
 
   # throughput: fused before/after, two-stage, int8
   run bench_fused       python bench.py
