@@ -119,9 +119,13 @@ def main():
     if args.grid == "trained":
         # occupancy binary from a converged procedural training run
         # (scripts/save_bench_grid.py) — realistic sparsity + topology
-        data = np.load(Path(__file__).parent / "bench_assets" /
-                       "trained_grid.npz")
-        binary = data["binary"]
+        asset = Path(__file__).parent / "bench_assets" / "trained_grid.npz"
+        if not asset.exists():
+            raise SystemExit(
+                f"{asset} missing — generate it first: "
+                "python scripts/save_bench_grid.py --steps 2000"
+            )
+        binary = np.load(asset)["binary"]
     else:
         # half-occupied cube: synthetic but stable culling ratio
         binary = np.zeros((128, 128, 128), bool)
@@ -152,22 +156,39 @@ def main():
         )
 
     if args.mode == "eval":
-        # inference path: forward-only render (no grad, no optimizer)
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def eval_step(params, grid, n_acc, rays_o, rays_d):
-            colors, _, _, n = render_rays(
-                params, field, rays_o, rays_d, grid=grid,
-                render_bkgd=jnp.ones(3), **kwargs,
-            )
-            return n_acc + n, colors
+        # inference path: forward-only render (no grad, no optimizer).
+        # Same Pallas->XLA fallback as the train path below.
+        def make_eval_step(kwargs):
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def eval_step(params, grid, n_acc, rays_o, rays_d):
+                colors, _, _, n = render_rays(
+                    params, field, rays_o, rays_d, grid=grid,
+                    render_bkgd=jnp.ones(3), **kwargs,
+                )
+                return n_acc + n, colors
 
+            return eval_step
+
+        eval_step = make_eval_step(kwargs)
         r = np.random.RandomState(0)
         o = jnp.asarray(r.rand(iters + 1, n_rays, 3) * 2 - 1, jnp.float32)
         d = jnp.asarray(r.randn(iters + 1, n_rays, 3), jnp.float32)
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         n_acc = jnp.zeros((), jnp.int32)
-        n_acc, colors = eval_step(params, grid, n_acc, o[0], d[0])
-        np.asarray(colors[:1])  # true sync (host read)
+        try:
+            n_acc, colors = eval_step(params, grid, n_acc, o[0], d[0])
+            np.asarray(colors[:1])  # true sync (host read)
+        except Exception as e:  # noqa: BLE001
+            if args.no_fused_march or kwargs.get("use_pallas") is False:
+                raise
+            import sys
+
+            print(f"fused-march path failed ({type(e).__name__}); "
+                  "retrying with use_pallas=False", file=sys.stderr)
+            eval_step = make_eval_step(dict(kwargs, use_pallas=False))
+            n_acc = jnp.zeros((), jnp.int32)
+            n_acc, colors = eval_step(params, grid, n_acc, o[0], d[0])
+            np.asarray(colors[:1])
         n_acc = jnp.zeros((), jnp.int32)
         t0 = time.perf_counter()
         for i in range(1, iters + 1):

@@ -68,7 +68,11 @@ def main():
     p.add_argument("--unbounded", action="store_true")
     p.add_argument("--max_steps", type=int, default=20000)
     p.add_argument("--num_rays", type=int, default=8192)
-    p.add_argument("--grid_resolution", type=int, default=128)
+    p.add_argument(
+        "--grid_resolution", type=int, default=None,
+        help="occupancy grid resolution (default: 128 bounded, 256 "
+        "unbounded — the reference's per-mode defaults)",
+    )
     p.add_argument("--max_samples_per_ray", type=int, default=1024)
     p.add_argument("--samples_budget", type=int, default=1 << 18)
     p.add_argument("--visible_samples_budget", type=int, default=1 << 16)
@@ -82,7 +86,12 @@ def main():
     )
     p.add_argument("--lr_decay", action="store_true", help="cosine lr decay to 0.1x over max_steps")
     p.add_argument("--eval_views", type=int, default=2)
-    p.add_argument("--cone_angle", type=float, default=0.0)
+    p.add_argument(
+        "--cone_angle", type=float, default=None,
+        help="per-ray step growth (default: 0 bounded, 0.004 unbounded "
+        "— the reference's per-mode defaults; pass an explicit 0 to "
+        "disable cone stepping in unbounded mode)",
+    )
     p.add_argument(
         "--quant_int8", action="store_true",
         help="TensoCP: int8-MXU forward contractions (see bench.py)",
@@ -230,19 +239,18 @@ def main():
     render_bkgd = scene.bkgd
 
     if args.unbounded:
-        # reference train_ngp_nerf.py:87-94: unbounded config. An
-        # explicitly-passed --grid_resolution / --far_plane overrides the
-        # reference defaults (256 / 1e4) — smoke tests and small captures
-        # don't need a 256^3 grid.
+        # reference train_ngp_nerf.py:87-94: unbounded config. Explicitly
+        # passed --grid_resolution / --cone_angle / --far_plane override
+        # the reference defaults (256 / 0.004 / 1e4) — smoke tests and
+        # small captures don't need a 256^3 grid, and the cone-angle
+        # quality A/B needs an honest `--cone_angle 0`.
         contraction = ContractionType.UN_BOUNDED_SPHERE
         near_plane = args.near_plane or 0.2
         far_plane = args.far_plane or 1e4
         render_step_size = 1e-2
         alpha_thre = 1e-2
-        cone_angle = args.cone_angle or 0.004
-        grid_res = (
-            args.grid_resolution if args.grid_resolution != 128 else 256
-        )
+        cone_angle = 0.004 if args.cone_angle is None else args.cone_angle
+        grid_res = args.grid_resolution or 256
         scene_aabb = None
     else:
         # bounded: step = diag * sqrt(3) / 1024 (train_ngp_nerf.py:149-153)
@@ -251,8 +259,8 @@ def main():
         diag = math.dist(aabb[:3], aabb[3:])
         render_step_size = diag * math.sqrt(3) / 1024
         alpha_thre = 0.0
-        cone_angle = args.cone_angle
-        grid_res = args.grid_resolution
+        cone_angle = args.cone_angle or 0.0
+        grid_res = args.grid_resolution or 128
         scene_aabb = jnp.asarray(aabb)
 
     p_levels = tuple(

@@ -251,22 +251,28 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     t0 = time.perf_counter()
+    t_warm = t0  # re-set after step 0 so samples/s excludes the compile
     for step in range(args.max_steps):
         key, k_r = jax.random.split(key)
         rays, pixels = scene.sample_batch(args.num_rays)
         params, opt_state, loss = train_step(
             params, opt_state, rays.origins, rays.viewdirs, pixels, k_r
         )
+        if step == 0:
+            float(loss)  # sync: step 0 = compile + first execution
+            t_warm = time.perf_counter()
         if step % 500 == 0 or step == args.max_steps - 1:
             print(f"step={step} loss={float(loss):.5f} "
                   f"elapsed={time.perf_counter()-t0:.1f}s")
     float(loss)  # sync before reading the train clock
     train_elapsed = time.perf_counter() - t0
     # rendered samples/step: proposal coarse pass + main fine pass (both
-    # composited) — the proposal-path analogue of bench.py's metric
-    sps = args.max_steps * args.num_rays * (
+    # composited) — the proposal-path analogue of bench.py's metric.
+    # Clock starts after step 0 (compile excluded), like bench.py's.
+    steady = time.perf_counter() - t_warm
+    sps = (args.max_steps - 1) * args.num_rays * (
         args.n_coarse + args.n_fine
-    ) / train_elapsed
+    ) / max(steady, 1e-9)
     print(f"train_samples_per_s: {sps:.0f}")
 
     # eval

@@ -219,13 +219,11 @@ def write_images_bin(path: Path, images):
 
 def normalize_poses(c2ws: np.ndarray) -> np.ndarray:
     """The 360 loader's pose normalization (recenter + rescale into the
-    unit box), reproduced so fixtures can render ground truth in the
-    normalized world frame the loader will emit rays in."""
-    center = c2ws[:, :, 3].mean(axis=0)
-    scale = 1.0 / max(np.abs(c2ws[:, :, 3] - center).max(), 1e-6)
-    out = c2ws.copy()
-    out[:, :, 3] = (c2ws[:, :, 3] - center) * scale
-    return out
+    unit box) — imported, not copied, so fixtures can never drift from
+    the frame the loader actually emits rays in."""
+    from .nerf_360_v2 import _normalize_poses
+
+    return _normalize_poses(c2ws)
 
 
 def write_colmap_fixture(

@@ -1,7 +1,7 @@
 """Collect round-2 measurement logs into a summary.
 
 Reads .bench_logs/*.log (written by scripts/run_round2_until_done.sh and
-run_round2_extra.sh), extracts the one-line JSON of bench runs and the
+the CPU sweep scripts), extracts the one-line JSON of bench runs and the
 PSNR / train-time lines of quality runs, and writes QUALITY_r2.json plus
 a markdown summary to stdout.
 

@@ -1,11 +1,13 @@
 #!/bin/bash
-# Self-healing round-2 measurement driver: every step from
-# run_round2_measurements.sh + run_round2_extra.sh, with a success marker
-# per step (.bench_logs/<name>.ok). Steps that already succeeded are
-# skipped, failed ones retried each pass; the loop exits when all steps
-# are done or the deadline passes. Designed for a flaky TPU tunnel whose
-# claim/init fails UNAVAILABLE after ~25 min when the server side is
-# down — each attempt doubles as the recovery probe (single claimer, no
+# Self-healing round-2 measurement driver — the CANONICAL queue of every
+# on-chip round-2 measurement (supersedes run_round2_measurements.sh /
+# run_round2_extra.sh, which it absorbed). One success marker per step
+# (.bench_logs/<name>.ok); steps that already succeeded are skipped,
+# failed ones retried each pass; the loop exits when all of ITS OWN
+# steps are done (CPU-sweep markers in the same dir don't count) or the
+# deadline passes. Designed for a flaky TPU tunnel whose claim/init
+# fails UNAVAILABLE after ~25 min when the server side is down — each
+# attempt doubles as the recovery probe (single claimer, no
 # kill-and-retry).
 #
 #   nohup bash scripts/run_round2_until_done.sh &
@@ -16,8 +18,11 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 mkdir -p .bench_logs bench_assets
 DEADLINE=$(( $(date +%s) + ${ROUND2_BUDGET_S:-36000} ))
 
+STEPS=()  # every `run` registers its name here (completion check)
+
 run() {
   local name=$1; shift
+  STEPS+=("$name")
   [ -f ".bench_logs/$name.ok" ] && return 0
   [ "$(date +%s)" -ge "$DEADLINE" ] && return 1
   echo "=== $name start $(date +%H:%M:%S)"
@@ -63,6 +68,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   fi
   pass=$((pass + 1))
   echo "=== pass $pass $(date +%H:%M:%S) (tunnel up)"
+  STEPS=()
 
   # throughput: fused before/after, two-stage, int8
   run bench_fused       python bench.py
@@ -81,14 +87,20 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run bench_ngp     python bench.py --model ngp
   run bench_ngp_xla python bench.py --model ngp --ngp_xla_grad
 
-  # quality: cone-angle + int8 gates (vs q_base1k)
+  # inference throughput
+  run bench_eval        python bench.py --mode eval
+  run bench_eval_2stage python bench.py --mode eval --visible_budget_ratio 0.5
+
+  # quality: cone-angle + int8 gates (vs q_base1k). q_base360 pins
+  # --cone_angle 0 explicitly: in unbounded mode the CLI default is the
+  # reference's 0.004, so omitting the flag would A/B nothing.
   run q_base1k  python "${TQ[@]}"
   run q_cone1k  python "${TQ[@]}" --cone_angle 0.004
   run q_int8_1k python "${TQ[@]}" --quant_int8
   run q_cone360 python "${U360[@]}" --cone_angle 0.004
-  run q_base360 python "${U360[@]}"
+  run q_base360 python "${U360[@]}" --cone_angle 0
 
-  # D-NeRF sweep
+  # D-NeRF sweep (CPU mini-sweep ranks these; chip runs are the record)
   run dn_base   python "${DN[@]}"
   run dn_v64    python "${DN[@]}" --train_views 64
   run dn_cap    python "${DN[@]}" --train_views 64 --warp_depth 6 \
@@ -96,15 +108,23 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run dn_lr     python "${DN[@]}" --train_views 64 --lr 1e-3
   run dn_lr_cap python "${DN[@]}" --train_views 64 --warp_depth 6 \
                 --warp_width 128 --time_degree 8 --lr 1e-3
+  run dn_tdeg2  python "${DN[@]}" --train_views 64 --time_degree 2
   run dn_5k     python "${DN[@]}" --max_steps 5000 --train_views 64
+
+  # proposal-pipeline throughput (train_samples_per_s, compile excluded)
+  run prop_2k python examples/train_proposal_nerf.py --max_steps 2000 \
+      --num_rays 4096 --image_size 96 --eval_views 2 --test_chunk_size 2048
 
   # post-fused step anatomy
   run bench_trace python bench.py --trace /tmp/r2_trace
   [ -d /tmp/r2_trace ] && run xplane python scripts/xplane.py /tmp/r2_trace
 
-  n_ok=$(ls .bench_logs/*.ok 2>/dev/null | wc -l)
-  echo "=== pass $pass done: $n_ok steps ok"
-  [ "$n_ok" -ge 23 ] && break
+  n_ok=0
+  for s in "${STEPS[@]}"; do
+    [ -f ".bench_logs/$s.ok" ] && n_ok=$((n_ok + 1))
+  done
+  echo "=== pass $pass done: $n_ok/${#STEPS[@]} steps ok"
+  [ "$n_ok" -ge "${#STEPS[@]}" ] && break
   sleep 60
 done
 echo "=== until-done driver exit $(date +%H:%M:%S)"
