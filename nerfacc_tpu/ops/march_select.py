@@ -37,7 +37,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 1024  # rays per program
+# Mosaic does NOT reuse stack buffers across the kernels' unrolled
+# group/slot loops: every iteration's (blk, K) temporaries (lane-padded
+# to 128) are allocated side by side, so the scoped-VMEM stack scales
+# with loop_iters x blk. Measured on v5e against the 16M limit:
+#   select   G=32  BLK=1024 -> 17.04M;  G=128 BLK=512 -> 33.37M
+#   reselect K=48  BLK=512  -> 56.14M
+# i.e. select ~ G*BLK*512 bytes, reselect ~ K*BLK*2304 bytes. Pick the
+# largest power-of-two block that keeps the model under a 12M budget.
+_VMEM_STACK_BUDGET = 12 * 1024 * 1024
+
+
+def _blk_for(per_row_bytes: int, r: int, cap: int = 1024) -> int:
+    blk = min(cap, max(8, _VMEM_STACK_BUDGET // max(per_row_bytes, 1)))
+    blk = 1 << (blk.bit_length() - 1)  # floor to a power of two
+    return min(blk, max(8, r))
 
 
 def _use_interpret() -> bool:
@@ -147,7 +161,7 @@ def fused_select_grouped(
     R, G = live_groups.shape
     if interpret is None:
         interpret = _use_interpret()
-    blk = min(BLK, R)
+    blk = _blk_for(G * 512, R)
     pad = (-R) % blk
     if pad:
         live_groups = jnp.pad(live_groups, ((0, pad), (0, 0)))
@@ -231,7 +245,9 @@ def _reselect_kernel(
     # order, so group j's width is the masked-delta cumsum span from its
     # own start to the next group's start (total for the last live group)
     start_excl = g_cd - g_dl
-    ok_next = jnp.pad(ok2, ((0, 0), (0, 1)))[:, 1:]
+    # pad as int32: Mosaic has no i1 vreg pad (bitcast_vreg i1->i32 fails
+    # "Invalid vector register cast" on v5e — measured on-chip)
+    ok_next = jnp.pad(ok2.astype(jnp.int32), ((0, 0), (0, 1)))[:, 1:] > 0
     next_start = jnp.pad(start_excl, ((0, 0), (0, 1)))[:, 1:]
     widths = jnp.where(ok_next, next_start, total_w) - start_excl
     ts2_ref[:] = g_ts
@@ -261,7 +277,7 @@ def fused_reselect(
     R, K = masks.shape
     if interpret is None:
         interpret = _use_interpret()
-    blk = min(BLK, R)
+    blk = _blk_for(K * 2304, R)
     pad = (-R) % blk
     if pad:
         masks = jnp.pad(masks, ((0, pad), (0, 0)))
