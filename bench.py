@@ -58,10 +58,16 @@ def main():
     ap.add_argument("--iters", type=int, default=0, help="0 = per-model default")
     ap.add_argument("--n_rays", type=int, default=16384)
     ap.add_argument(
+        "--fused_march", action="store_true",
+        help="enable the fused Pallas march-select kernel. Default is the "
+        "XLA op-chain selection: measured ~2%% faster end-to-end on v5e "
+        "(21.87M vs 21.49M samples/s) because XLA cannot fuse across the "
+        "Pallas custom call — see docs/benchmarks.md",
+    )
+    ap.add_argument(
         "--no_fused_march", action="store_true",
-        help="disable the fused Pallas march-select kernel (XLA op-chain "
-        "selection instead) — the before/after comparison in "
-        "docs/benchmarks.md",
+        help="(deprecated; the XLA path is now the default) force the "
+        "XLA op-chain selection",
     )
     ap.add_argument(
         "--quant_int8", action="store_true",
@@ -148,7 +154,8 @@ def main():
         # in-range span (vs 64 fixed-stride groups, most of them beyond
         # t_max) — fewer lookups and finer probes on short rays
         probe_groups=32,
-        use_pallas=False if args.no_fused_march else None,
+        use_pallas=True if args.fused_march and not args.no_fused_march
+        else None,
     )
     if args.visible_budget_ratio > 0:
         kwargs["visible_samples_budget"] = int(
@@ -179,7 +186,7 @@ def main():
             n_acc, colors = eval_step(params, grid, n_acc, o[0], d[0])
             np.asarray(colors[:1])  # true sync (host read)
         except Exception as e:  # noqa: BLE001
-            if args.no_fused_march or kwargs.get("use_pallas") is False:
+            if kwargs.get("use_pallas") is not True:
                 raise
             import sys
 
@@ -266,13 +273,12 @@ def main():
         )
         np.asarray(loss)
     except Exception as e:  # noqa: BLE001 - any compile/runtime failure
-        if args.no_fused_march or kwargs.get("use_pallas") is False:
+        if kwargs.get("use_pallas") is not True:
             raise
         import sys
 
         print(f"fused-march path failed ({type(e).__name__}); "
               "retrying with use_pallas=False", file=sys.stderr)
-        args.no_fused_march = True
         train_step = make_train_step(dict(kwargs, use_pallas=False))
         params = field.init(
             jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
@@ -313,6 +319,9 @@ def main():
                 "grid": args.grid,
                 "quant_int8": args.quant_int8,
                 "visible_budget_ratio": args.visible_budget_ratio,
+                "fused_march": bool(
+                    args.fused_march and not args.no_fused_march
+                ),
             }
         )
     )

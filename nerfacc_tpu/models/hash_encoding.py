@@ -85,49 +85,62 @@ class HashEncoder(nn.Module):
         L, T, F = self.n_levels, self._T, self.n_features
         res = self._res  # (L,)
 
-        # (N, L, 3): per-level continuous grid coords
-        xl = x[:, None, :] * res[None, :, None].astype(x.dtype)
-        c0 = jnp.floor(xl)
-        w = xl - c0  # trilinear weights in [0, 1)
-        c0 = c0.astype(jnp.int32)
+        # All per-corner intermediates live on a lane-packed (N, L*8)
+        # layout with one array per spatial component. A (N, L, 8, 3)
+        # formulation is 4x the FLOPs' worth of HBM: XLA tiles the two
+        # minor dims (8, 3) up to (8, 128), so at bench scale
+        # (N = 786k, L = 16) the corner tensor alone was a 19 GB
+        # allocation — an HBM OOM on v5e (measured round 2). With L = 16
+        # the packed minor dim is exactly one 128-lane row.
+        ox = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+        oy = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1], jnp.int32)
+        oz = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], jnp.int32)
 
-        # 8 corners: (N, L, 8, 3)
-        offsets = jnp.asarray(
-            [
-                [i, j, k]
-                for i in (0, 1)
-                for j in (0, 1)
-                for k in (0, 1)
-            ],
-            jnp.int32,
-        )
-        corners = c0[:, :, None, :] + offsets[None, None, :, :]
-        corners = jnp.clip(corners, 0, res[None, :, None, None])
+        # (N, L): per-level continuous grid coords, one array per axis
+        def _axis(xc):
+            xl = xc[:, None] * res[None, :].astype(x.dtype)
+            c0 = jnp.floor(xl)
+            return c0.astype(jnp.int32), xl - c0  # (N, L) int, (N, L) frac
+
+        c0x, wx_f = _axis(x[:, 0])
+        c0y, wy_f = _axis(x[:, 1])
+        c0z, wz_f = _axis(x[:, 2])
+
+        res_row = jnp.broadcast_to(res[:, None], (L, 8)).reshape(L * 8)
+
+        def _corners(c0c, oc):
+            c = c0c[:, :, None] + oc[None, None, :]  # (N, L, 8)
+            c = c.reshape(N, L * 8)
+            return jnp.clip(c, 0, res_row[None, :]).astype(jnp.uint32)
+
+        cx, cy, cz = _corners(c0x, ox), _corners(c0y, oy), _corners(c0z, oz)
 
         # hashed index (xor of primes) vs dense index, per level
-        cu = corners.astype(jnp.uint32)
         hashed = (
-            cu[..., 0] * jnp.uint32(_PRIMES[0])
-            ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
-            ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
+            cx * jnp.uint32(_PRIMES[0])
+            ^ cy * jnp.uint32(_PRIMES[1])
+            ^ cz * jnp.uint32(_PRIMES[2])
         ) & jnp.uint32(T - 1)
         stride = (res + 1).astype(jnp.uint32)
-        dense_idx = (
-            cu[..., 0] * (stride * stride)[None, :, None]
-            + cu[..., 1] * stride[None, :, None]
-            + cu[..., 2]
-        )
-        idx = jnp.where(self._dense[None, :, None], dense_idx, hashed)
-        level_offset = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[
-            None, :, None
-        ]
-        flat_idx = (idx + level_offset).astype(jnp.int32)  # (N, L, 8)
+        stride_row = jnp.broadcast_to(stride[:, None], (L, 8)).reshape(L * 8)
+        dense_idx = cx * (stride_row * stride_row)[None, :] + cy * stride_row[None, :] + cz
+        dense_row = jnp.broadcast_to(self._dense[:, None], (L, 8)).reshape(L * 8)
+        idx = jnp.where(dense_row[None, :], dense_idx, hashed)
+        level_offset = jnp.broadcast_to(
+            (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[:, None], (L, 8)
+        ).reshape(L * 8)
+        flat_idx = (idx + level_offset[None, :]).astype(jnp.int32)  # (N, L*8)
 
         # trilinear blend: weight per corner = prod over dims of (w or 1-w)
-        wx = jnp.where(offsets[None, None, :, 0] == 1, w[..., None, 0], 1 - w[..., None, 0])
-        wy = jnp.where(offsets[None, None, :, 1] == 1, w[..., None, 1], 1 - w[..., None, 1])
-        wz = jnp.where(offsets[None, None, :, 2] == 1, w[..., None, 2], 1 - w[..., None, 2])
-        cw = (wx * wy * wz).astype(jnp.float32)  # (N, L, 8)
+        def _cw(wf, oc):
+            w8 = jnp.where(
+                (oc == 1)[None, None, :], wf[:, :, None], 1 - wf[:, :, None]
+            )
+            return w8.reshape(N, L * 8)
+
+        cw = (_cw(wx_f, ox) * _cw(wy_f, oy) * _cw(wz_f, oz)).astype(
+            jnp.float32
+        )
 
         if self.pallas_grad and F == 2:
             from ..ops.hash_gather import hash_encode_lookup
@@ -136,7 +149,15 @@ class HashEncoder(nn.Module):
                 self.table.astype(jnp.float32), flat_idx, cw, T
             )
         else:
-            vals = self.table[flat_idx.reshape(-1)].reshape(N, L, 8, F)
-            vals = vals.astype(jnp.float32)
-            out = (vals * cw[..., None]).sum(axis=2)  # (N, L, F)
+            # per-feature 1-D gathers: (N, L*8) intermediates only — a
+            # (N, L, 8, F) row-gather output pads its minor dims to the
+            # (8, 128) tile (multi-GB at bench scale, measured OOM)
+            tf = self.table.astype(jnp.float32)
+            out = jnp.stack(
+                [
+                    (tf[:, f][flat_idx] * cw).reshape(N, L, 8).sum(-1)
+                    for f in range(F)
+                ],
+                axis=-1,
+            )  # (N, L, F)
         return out.reshape(N, L * F)

@@ -99,17 +99,36 @@ def hash_grad_scatter(
     ``idx`` entries < 0 are skipped (used for batch padding).
     ``n_entries`` must be a multiple of 64 (hash tables are powers of 2).
     """
+    B = idx.shape[0]
+    # pack (B, 2) values into (B // 64, 128) rows. Callers with
+    # lane-friendly inputs should build the packed layout themselves and
+    # call :func:`hash_grad_scatter_packed` — a (B, 2) tensor's tiled
+    # layout pads the minor dim 2 -> 128 (64x HBM) at large B.
+    pad = (-B) % BLK
+    if pad:
+        values = jnp.concatenate(
+            [values, jnp.zeros((pad, 2), values.dtype)]
+        )
+    v_packed = values.astype(jnp.float32).reshape(-1, LANES)
+    return hash_grad_scatter_packed(idx, v_packed, n_entries)
+
+
+def hash_grad_scatter_packed(
+    idx: jnp.ndarray, v_packed: jnp.ndarray, n_entries: int
+) -> jnp.ndarray:
+    """:func:`hash_grad_scatter` with the values already lane-packed:
+    ``v_packed (B // 64, 128)`` f32 where corner ``i``'s feature pair
+    lives at row ``i // 64``, lanes ``(2 * (i % 64), 2 * (i % 64) + 1)``.
+    """
     assert n_entries % PACK == 0
     B = idx.shape[0]
     pad = (-B) % BLK
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
-        values = jnp.concatenate(
-            [values, jnp.zeros((pad, 2), values.dtype)]
+        v_packed = jnp.concatenate(
+            [v_packed, jnp.zeros((pad // PACK, LANES), v_packed.dtype)]
         )
     Bp = idx.shape[0]
-    # pack (Bp, 2) values into (Bp // 64, 128) rows
-    v_packed = values.astype(jnp.float32).reshape(Bp // PACK, LANES)
     out = pl.pallas_call(
         functools.partial(_scatter_kernel, n_corners=BLK),
         grid=(Bp // BLK,),
@@ -143,28 +162,38 @@ def hash_encode_lookup(table, flat_idx, corner_w, n_entries_per_level):
 
     Args:
         table: (L * T, 2) f32 flat per-level tables (T entries each).
-        flat_idx: (N, L, 8) int32 indices into ``table`` (level offsets
-            already added).
-        corner_w: (N, L, 8) f32 trilinear corner weights.
+        flat_idx: (N, L * 8) int32 lane-packed indices into ``table``
+            (level offsets already added; level l's corners at lanes
+            ``l * 8 .. l * 8 + 8``). Lane-packed rather than (N, L, 8):
+            a trailing dim of 8 tiles up to 128 lanes (16x HBM), which
+            at bench scale (N = 786k) was a measured multi-GB OOM.
+        corner_w: (N, L * 8) f32 trilinear corner weights, same packing.
         n_entries_per_level: static T.
 
     Returns:
         (N, L, 2) f32 blended features.
 
-    The backward produces the table gradient via one VMEM-resident
-    :func:`hash_grad_scatter` per level (a level's 4 MB accumulator fits
-    VMEM; the full 64 MB table does not) and **zero** cotangents for
-    ``flat_idx``/``corner_w`` — sample positions are stop-gradient
-    throughout this framework (sampling is non-differentiable), matching
-    ``cp_encoder``'s convention.
+    The forward runs one 1-D gather per feature column ((N, L*8)-shaped
+    output, zero layout padding) instead of a single (N, L, 8, 2) row
+    gather (64x lane padding on the trailing feature pair). The backward
+    produces the table gradient via one VMEM-resident
+    :func:`hash_grad_scatter_packed` per level (a level's 4 MB
+    accumulator fits VMEM; the full 64 MB table does not) and **zero**
+    cotangents for ``flat_idx``/``corner_w`` — sample positions are
+    stop-gradient throughout this framework (sampling is
+    non-differentiable), matching ``cp_encoder``'s convention.
     """
     return _lookup_fwd_impl(table, flat_idx, corner_w)
 
 
 def _lookup_fwd_impl(table, flat_idx, corner_w):
-    N, L, C = flat_idx.shape
-    vals = table[flat_idx.reshape(-1)].reshape(N, L, C, 2)
-    return (vals.astype(jnp.float32) * corner_w[..., None]).sum(axis=2)
+    N, L8 = flat_idx.shape
+    L = L8 // 8
+    tf = table.astype(jnp.float32)
+    # per-feature 1-D gathers: (N, L*8) outputs, perfectly lane-tiled
+    f0 = (tf[:, 0][flat_idx] * corner_w).reshape(N, L, 8).sum(-1)
+    f1 = (tf[:, 1][flat_idx] * corner_w).reshape(N, L, 8).sum(-1)
+    return jnp.stack([f0, f1], axis=-1)  # (N, L, 2)
 
 
 def _lookup_fwd(table, flat_idx, corner_w, n_entries_per_level):
@@ -174,15 +203,21 @@ def _lookup_fwd(table, flat_idx, corner_w, n_entries_per_level):
 
 def _lookup_bwd(n_entries_per_level, res, g):
     flat_idx, corner_w, table_shape = res
-    N, L, C = flat_idx.shape
+    N, L8 = flat_idx.shape
+    L = L8 // 8
     T = n_entries_per_level
-    # corner cotangent: (N, L, 8, 2) = w * g
-    v = corner_w[..., None] * g[:, :, None, :]
+    g = g.astype(jnp.float32)
     grads = []
     for level in range(L):
-        idx_l = flat_idx[:, level, :].reshape(-1) - level * T
-        v_l = v[:, level, :, :].reshape(-1, 2)
-        grads.append(hash_grad_scatter(idx_l, v_l, T))
+        sl = slice(level * 8, level * 8 + 8)
+        idx_l = flat_idx[:, sl].reshape(-1) - level * T  # (N*8,)
+        # corner cotangents v_f = w * g_f, built directly in the packed
+        # (B // 64, 128) layout (interleaved feature pairs) — never a
+        # (B, 2)-shaped tensor, whose tiled layout pads 64x.
+        v0 = (corner_w[:, sl] * g[:, level, 0][:, None]).reshape(-1, PACK)
+        v1 = (corner_w[:, sl] * g[:, level, 1][:, None]).reshape(-1, PACK)
+        v_packed = jnp.stack([v0, v1], axis=-1).reshape(-1, LANES)
+        grads.append(hash_grad_scatter_packed(idx_l, v_packed, T))
     d_table = jnp.concatenate(grads, axis=0).astype(jnp.float32)
     return (
         d_table.reshape(table_shape),

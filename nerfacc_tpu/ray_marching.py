@@ -387,10 +387,15 @@ def march_rays(
     C=1 path exactly up to dilation positives, which the per-slot exact
     re-check removes.
 
-    ``use_pallas`` (default: auto — on for TPU backends) runs the fused
-    selection + lattice kernel (:mod:`nerfacc_tpu.ops.march_select`) on
-    the grouped path instead of the unfused XLA op chain; numerically
-    identical, one program instead of the region's many small fusions.
+    ``use_pallas=True`` runs the fused selection + lattice kernel
+    (:mod:`nerfacc_tpu.ops.march_select`) on the grouped path instead of
+    the unfused XLA op chain; numerically identical, one program instead
+    of the region's many small fusions. Default (auto) is the XLA chain:
+    measured on v5e at the 16384-ray bench workload, the XLA path is
+    ~2% faster end-to-end (21.87M vs 21.49M samples/s) — XLA cannot fuse
+    elementwise work *across* the Pallas custom call, and the collateral
+    fusion breakage around it costs more than the kernel saves
+    (docs/benchmarks.md, round-2 measurements).
     """
     n_rays = rays_o.shape[0]
     S, K, C = max_samples_per_ray, slots_per_ray, coarse_stride
@@ -416,8 +421,6 @@ def march_rays(
             S,
         ).astype(jnp.int32)
         _, group_size = _probe_layout(k_in, S, C, probe_groups)
-        if use_pallas is None:
-            use_pallas = jax.default_backend() in ("tpu", "axon")
         if use_pallas:
             from .ops.march_select import fused_select_grouped
 
@@ -516,12 +519,12 @@ def reselect_visible(
     (the total for the last live group) — exact even when the source
     deltas are themselves widened.
 
-    ``use_pallas`` (default auto) runs the fused kernel
+    ``use_pallas=True`` runs the fused kernel
     (:func:`nerfacc_tpu.ops.march_select.fused_reselect`) instead of the
-    select + gather + width-algebra op chain.
+    select + gather + width-algebra op chain (default: the XLA chain —
+    measured faster end-to-end on v5e, see
+    :func:`march_rays_grouped`'s note).
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from .ops.march_select import fused_reselect
 
