@@ -36,19 +36,36 @@ def exclusive_segment_cumsum(
 
     Equivalent of CUB ``ExclusiveSumByKey``
     (``render_transmittance_cub.cu:19-26``): result[i] = sum of x[j] for all
-    j < i in the same segment.
+    j < i in the same segment. Requires sorted ``seg_ids`` — guaranteed by
+    this package's packed layout.
 
-    Implementation: one global exclusive cumsum, then subtract the global
-    prefix at each segment's start (recovered from the cumsum of per-segment
-    totals). Requires sorted ``seg_ids`` — guaranteed by this package's
-    packed layout.
+    Implementation: the classic segmented-scan reset operator under
+    ``lax.associative_scan`` (same pattern as
+    :func:`exclusive_segment_cumprod`). An earlier formulation (global
+    cumsum minus per-segment offsets) matched CUB only to ~2e-2 absolute at
+    bench-scale buffers: the subtraction cancels two terms that grow with
+    the *global* prefix, so late rays lose up to half the mantissa. The
+    reset operator never accumulates across a segment boundary — error per
+    element is eps-scaled to the segment partial sum, exactly like the
+    reference's per-ray serial loop.
     """
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     xa = x.astype(acc_dtype)
-    csum = jnp.cumsum(xa) - xa  # global exclusive cumsum
-    totals = segment_sum(xa, seg_ids, num_segments)
-    offsets = jnp.cumsum(totals) - totals  # global prefix at segment start
-    out = csum - offsets[jnp.clip(seg_ids, 0, num_segments - 1)]
+    n = xa.shape[0]
+    idx = jnp.arange(n)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), seg_ids[1:] != seg_ids[:-1]]
+    )
+    # shift within segment: v'_i = x_{i-1}, segment starts get identity 0;
+    # then an *inclusive* segmented sum of v' is the exclusive one of x.
+    shifted = jnp.where(first, 0.0, xa[jnp.maximum(idx - 1, 0)])
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va + vb)
+
+    _, out = jax.lax.associative_scan(combine, (first, shifted))
     return out.astype(x.dtype)
 
 

@@ -58,3 +58,66 @@ def test_segment_cumprod_zero_propagation():
     got = np.asarray(exclusive_segment_cumprod(x, seg, 2))
     want = np.array([1.0, 0.5, 0.0, 0.0, 1.0, 1.0, 0.0], np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_flat_cumsum_precision_bench_scale():
+    """Late-ray transmittance precision at bench-scale buffers.
+
+    Round-2 VERDICT confirmed the old global-cumsum-minus-offset
+    formulation lost up to 2.4e-2 in T = exp(-acc) for late rays at
+    8192 rays x 64 samples (cancellation grows with the global prefix).
+    The reset-operator scan must match a float64 per-segment oracle to
+    ~float32 eps of the *per-ray* accumulation, like CUB's per-key scan
+    (reference render_transmittance_cub.cu:40-72).
+    """
+    rng = np.random.RandomState(7)
+    n_rays, k = 8192, 64
+    n = n_rays * k  # 524288 samples
+    seg = np.repeat(np.arange(n_rays, dtype=np.int32), k)
+    x = (rng.rand(n) * 0.5).astype(np.float32)
+
+    got = np.asarray(
+        exclusive_segment_cumsum(jnp.array(x), jnp.array(seg), n_rays)
+    )
+    want64 = (
+        np.cumsum(x.astype(np.float64).reshape(n_rays, k), axis=1)
+        - x.reshape(n_rays, k)
+    ).reshape(-1)
+
+    err_acc = np.abs(got - want64)
+    assert err_acc.max() < 1e-4, err_acc.max()
+    # T = exp(-acc): the quantity the renderer actually consumes
+    err_T = np.abs(np.exp(-got.astype(np.float64)) - np.exp(-want64))
+    assert err_T.max() < 1e-5, err_T.max()
+
+
+def test_flat_matches_dense_transmittance_bench_scale():
+    """Flat parity path == dense twin at bench scale (VERDICT r2 item 2)."""
+    from nerfacc_tpu.vol_rendering import (
+        render_transmittance_from_density,
+        render_transmittance_from_density_dense,
+    )
+
+    rng = np.random.RandomState(3)
+    n_rays, k = 8192, 64
+    t = np.sort(rng.rand(n_rays, k + 1).astype(np.float32), axis=1)
+    sig = (rng.rand(n_rays, k) * 20.0).astype(np.float32)
+    seg = np.repeat(np.arange(n_rays, dtype=np.int32), k)
+
+    dense = np.asarray(
+        render_transmittance_from_density_dense(
+            jnp.array(t[:, :-1]), jnp.array(t[:, 1:]), jnp.array(sig)
+        )
+    )
+    flat = np.asarray(
+        render_transmittance_from_density(
+            jnp.array(t[:, :-1].reshape(-1, 1)),
+            jnp.array(t[:, 1:].reshape(-1, 1)),
+            jnp.array(sig.reshape(-1, 1)),
+            ray_indices=jnp.array(seg),
+            n_rays=n_rays,
+        )
+    )
+    np.testing.assert_allclose(
+        flat.reshape(n_rays, k), dense.reshape(n_rays, k), atol=1e-6
+    )
