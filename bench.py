@@ -93,9 +93,10 @@ def main():
         "(parse with scripts/xplane.py for the per-op step anatomy)",
     )
     ap.add_argument(
-        "--ngp_xla_grad", action="store_true",
-        help="with --model ngp: use XLA's scatter-add table gradient "
-        "instead of the Pallas VMEM scatter kernel (the before/after "
+        "--ngp_pallas_grad", action="store_true",
+        help="with --model ngp: use the round-2 serial Pallas VMEM "
+        "scatter for the hash-table gradient instead of XLA's fused "
+        "sort-scatter (measured ~1000x slower; the before/after "
         "comparison in docs/benchmarks.md)",
     )
     args = ap.parse_args()
@@ -115,9 +116,9 @@ def main():
     else:
         field = NGPRadianceField(
             aabb=tuple(float(v) for v in np.asarray(aabb)),
-            pallas_grad=not args.ngp_xla_grad,
+            pallas_grad=args.ngp_pallas_grad,
         )
-        iters = args.iters or 3  # gather-bound: whole steps cost seconds
+        iters = args.iters or (3 if args.ngp_pallas_grad else 20)
     params = field.init(
         jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
     )
@@ -279,7 +280,8 @@ def main():
 
         print(f"fused-march path failed ({type(e).__name__}); "
               "retrying with use_pallas=False", file=sys.stderr)
-        train_step = make_train_step(dict(kwargs, use_pallas=False))
+        kwargs = dict(kwargs, use_pallas=False)
+        train_step = make_train_step(kwargs)
         params = field.init(
             jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
         )
@@ -319,9 +321,9 @@ def main():
                 "grid": args.grid,
                 "quant_int8": args.quant_int8,
                 "visible_budget_ratio": args.visible_budget_ratio,
-                "fused_march": bool(
-                    args.fused_march and not args.no_fused_march
-                ),
+                # the kwargs actually used by the final train_step (the
+                # warmup may have fallen back to use_pallas=False above)
+                "fused_march": bool(kwargs.get("use_pallas")),
             }
         )
     )

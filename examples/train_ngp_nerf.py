@@ -108,6 +108,11 @@ def main():
     )
     p.add_argument("--ckpt_every", type=int, default=2000)
     p.add_argument(
+        "--seed", type=int, default=42,
+        help="PRNG seed (init + stratified jitter + grid-update cells); "
+        "vary to measure quality-gate noise",
+    )
+    p.add_argument(
         "--target_sample_batch_size", type=int, default=0,
         help="if > 0, adapt the ray-batch size (bucketed, recompile-free "
         "after warmup) to keep live samples/batch near this target — the "
@@ -274,7 +279,7 @@ def main():
         )
     else:
         field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
-    key = jax.random.PRNGKey(42)
+    key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     params = field.init(k_init, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
 

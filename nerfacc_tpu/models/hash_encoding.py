@@ -13,14 +13,15 @@ gathers from an HBM-resident table. Design choices for TPU:
   * the spatial hash is the standard xor-of-primes
     (pi_1, pi_2, pi_3) = (1, 2654435761, 805459861) masked to T-1.
 
-The *backward* is where XLA's lowering hurts most: grad-of-gather becomes
-an HBM scatter-add (serialized, ~10-170 ns/element on v5e), which
-dominates hash-NGP training steps. With ``pallas_grad=True`` (default,
-``n_features == 2`` only) the lookup+blend runs through
-:func:`nerfacc_tpu.ops.hash_gather.hash_encode_lookup`, whose custom
-backward accumulates each level's table gradient in a VMEM-resident
-Pallas kernel instead (see ``ops/hash_gather.py``); measured comparison
-in ``docs/benchmarks.md``.
+Both forward and backward route through
+:func:`nerfacc_tpu.ops.hash_gather.hash_encode_lookup` (``n_features == 2``),
+whose custom backward is two flat XLA scatter-adds sharing one index set
+— XLA batches them into ONE sort + segmented reduce, the measured-fastest
+exact table gradient on v5e (~39 ms at 33.5M corners; see
+``ops/hash_gather.py`` and ``docs/benchmarks.md`` round-3 numbers).
+``pallas_grad=True`` opts into the round-2 serial VMEM scatter kernel
+instead (measured ~1000x slower at training scale; kept for
+kernel-equivalence tests).
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ class HashEncoder(nn.Module):
     base_resolution: int = 16
     per_level_scale: float = 1.4472692012786865
     param_dtype: jnp.dtype = jnp.float32
-    pallas_grad: bool = True
+    pallas_grad: bool = False  # opt-in serial Pallas scatter (see module doc)
 
     def setup(self):
         T = 1 << self.log2_hashmap_size
@@ -68,12 +69,17 @@ class HashEncoder(nn.Module):
         dense = (res + 1) ** 3 <= T
         self._dense = jnp.asarray(dense)
         self._T = T
+        # FLAT 1-D feature-major table: [feat 0 of all levels | feat 1 |
+        # ...]. A (L*T, F) parameter tiles (8, 128) on its trailing dims
+        # -> 64x HBM (4.3 GB for the 67 MB table, plus 2x that in adam
+        # moments) and every touch moves gigabytes — the traced cause of
+        # the round-3 first-bench 4 s steps. 1-D tiles T(1024), unpadded.
         self.table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(
                 key, shape, minval=-1e-4, maxval=1e-4, dtype=self.param_dtype
             ),
-            (self.n_levels * T, self.n_features),
+            (self.n_features * self.n_levels * T,),
         )
 
     @property
@@ -85,35 +91,39 @@ class HashEncoder(nn.Module):
         L, T, F = self.n_levels, self._T, self.n_features
         res = self._res  # (L,)
 
-        # All per-corner intermediates live on a lane-packed (N, L*8)
-        # layout with one array per spatial component. A (N, L, 8, 3)
-        # formulation is 4x the FLOPs' worth of HBM: XLA tiles the two
-        # minor dims (8, 3) up to (8, 128), so at bench scale
-        # (N = 786k, L = 16) the corner tensor alone was a 19 GB
-        # allocation — an HBM OOM on v5e (measured round 2). With L = 16
-        # the packed minor dim is exactly one 128-lane row.
-        ox = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
-        oy = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1], jnp.int32)
-        oz = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], jnp.int32)
-
-        # (N, L): per-level continuous grid coords, one array per axis
-        def _axis(xc):
-            xl = xc[:, None] * res[None, :].astype(x.dtype)
-            c0 = jnp.floor(xl)
-            return c0.astype(jnp.int32), xl - c0  # (N, L) int, (N, L) frac
-
-        c0x, wx_f = _axis(x[:, 0])
-        c0y, wy_f = _axis(x[:, 1])
-        c0z, wz_f = _axis(x[:, 2])
-
+        # EVERY per-corner tensor is strictly 2-D (N, L*8). Any shape
+        # with small minor dims tile-pads on TPU: (N, L, 8, 3) was a
+        # measured 19 GB OOM (round 2), and even (N, L, 8) / (N, L, 2)
+        # intermediates forced relayout copies that made the first
+        # round-3 on-chip step 5 s (traced: 4.1 s of copy-dominated
+        # fusions). Per-axis corner coordinates are therefore computed
+        # directly in expanded (N, L*8) form — the x*res product is
+        # recomputed 8x per level, a VPU-trivial trade for zero
+        # relayouts. With L = 16 the minor dim is exactly one 128-lane
+        # row.
+        ox = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.uint32)
+        oy = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1], jnp.uint32)
+        oz = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], jnp.uint32)
         res_row = jnp.broadcast_to(res[:, None], (L, 8)).reshape(L * 8)
+        res_row_f = res_row.astype(x.dtype)
 
-        def _corners(c0c, oc):
-            c = c0c[:, :, None] + oc[None, None, :]  # (N, L, 8)
-            c = c.reshape(N, L * 8)
-            return jnp.clip(c, 0, res_row[None, :]).astype(jnp.uint32)
+        def _axis_corner_weight(xc, oc):
+            # (N, L*8) continuous coord per corner slot, directly
+            oc_row = jnp.tile(oc, L)  # (L*8,)
+            xl = xc[:, None] * res_row_f[None, :]
+            c0 = jnp.floor(xl)
+            frac = xl - c0
+            c = jnp.clip(
+                c0.astype(jnp.int32) + oc_row.astype(jnp.int32)[None, :],
+                0,
+                res_row[None, :],
+            ).astype(jnp.uint32)
+            w = jnp.where((oc_row == 1)[None, :], frac, 1.0 - frac)
+            return c, w
 
-        cx, cy, cz = _corners(c0x, ox), _corners(c0y, oy), _corners(c0z, oz)
+        cx, wx = _axis_corner_weight(x[:, 0], ox)
+        cy, wy = _axis_corner_weight(x[:, 1], oy)
+        cz, wz = _axis_corner_weight(x[:, 2], oz)
 
         # hashed index (xor of primes) vs dense index, per level
         hashed = (
@@ -131,33 +141,31 @@ class HashEncoder(nn.Module):
         ).reshape(L * 8)
         flat_idx = (idx + level_offset[None, :]).astype(jnp.int32)  # (N, L*8)
 
-        # trilinear blend: weight per corner = prod over dims of (w or 1-w)
-        def _cw(wf, oc):
-            w8 = jnp.where(
-                (oc == 1)[None, None, :], wf[:, :, None], 1 - wf[:, :, None]
-            )
-            return w8.reshape(N, L * 8)
+        # trilinear blend weight per corner
+        cw = (wx * wy * wz).astype(jnp.float32)
 
-        cw = (_cw(wx_f, ox) * _cw(wy_f, oy) * _cw(wz_f, oz)).astype(
-            jnp.float32
-        )
-
-        if self.pallas_grad and F == 2:
+        if F == 2:
             from ..ops.hash_gather import hash_encode_lookup
 
-            out = hash_encode_lookup(
-                self.table.astype(jnp.float32), flat_idx, cw, T
+            # (N, 2L) feature-major (a fixed permutation of the
+            # reference's interleaved order; see hash_encode_lookup)
+            return hash_encode_lookup(
+                self.table.astype(jnp.float32), flat_idx, cw, T,
+                self.pallas_grad,
             )
-        else:
-            # per-feature 1-D gathers: (N, L*8) intermediates only — a
-            # (N, L, 8, F) row-gather output pads its minor dims to the
-            # (8, 128) tile (multi-GB at bench scale, measured OOM)
-            tf = self.table.astype(jnp.float32)
-            out = jnp.stack(
-                [
-                    (tf[:, f][flat_idx] * cw).reshape(N, L, 8).sum(-1)
-                    for f in range(F)
-                ],
-                axis=-1,
-            )  # (N, L, F)
-        return out.reshape(N, L * F)
+        # generic-F fallback: per-feature 1-D gathers + the same MXU
+        # corner-sum, concatenated feature-major to (N, F*L)
+        from ..ops.hash_gather import _corner_sum_matrix
+
+        tf = self.table.astype(jnp.float32)
+        S = _corner_sum_matrix(L)
+        return jnp.concatenate(
+            [
+                jnp.dot(
+                    tf[f * L * T + flat_idx] * cw, S,
+                    preferred_element_type=jnp.float32,
+                )
+                for f in range(F)
+            ],
+            axis=1,
+        )

@@ -107,7 +107,7 @@ class NGPRadianceField(nn.Module):
     geo_feat_dim: int = 15
     n_levels: int = 16
     log2_hashmap_size: int = 19
-    pallas_grad: bool = True
+    pallas_grad: bool = False  # opt-in serial Pallas scatter
 
     def setup(self):
         self.encoder = HashEncoder(

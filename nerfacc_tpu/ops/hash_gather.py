@@ -1,31 +1,35 @@
-"""Pallas TPU kernel: hash-table gradient scatter-accumulate in VMEM.
+"""Hash-table encoder core op: multi-level gather forward + scatter backward.
 
 The reference's NGP example leans on tcnn's fused hash-grid CUDA kernel
 (``examples/radiance_fields/ngp.py:108-126``): forward is a per-thread
-gather, backward a global-memory ``atomicAdd`` scatter. On TPU the
-forward gather is already at XLA's per-element floor (~9 ns/index on
-v5e — see ``docs/benchmarks.md``), but XLA lowers the *backward*
-(grad-of-gather) to an HBM scatter-add whose serialized index chains
-cost 1-2 orders of magnitude more per element. That scatter is the
-single reason "trainable gather-table encoders die in backward" on TPU.
+gather, backward a global-memory ``atomicAdd`` scatter.
 
-This kernel attacks exactly that: one hash level's table gradient is a
-4 MB f32 accumulator (T = 2^19 entries x 2 features, packed 64 entries
-per 128-lane row) that fits VMEM, so the scatter becomes a serial
-in-VMEM masked read-modify-write loop — no HBM round trip per corner,
-no XLA scatter custom call. Layout:
+TPU design (round-3 measurements, ``docs/benchmarks.md`` and
+``scripts/bench_hash_primitives*.py`` on v5e):
 
-  * indices arrive via scalar prefetch (SMEM) so the loop reads them in
-    ~1 cycle each;
-  * the (B, 2) corner values are packed 64-per-row into (B/64, 128)
-    f32 so reads are full-lane; a one-hot mask extracts the pair;
-  * each corner does: one (1, 128) row read, one masked add, one row
-    write — ~10 VPU ops — against the VMEM-resident accumulator.
+  * **Forward**: XLA's 1-D dynamic gather runs at ~0.4-0.5 ns/element —
+    not the ~9 ns/element assumed in rounds 1-2 (that figure came from a
+    layout-poisoned variant). Two per-feature 1-D gathers over a flat
+    ``(L*T,)`` table column keep every intermediate on a lane-friendly
+    ``(N, L*8)`` layout (a ``(N, L, 8, F)`` row gather pads its minor
+    dims 64x — a measured 19 GB HBM OOM at bench scale).
+  * **Backward**: XLA lowers scatter-add on TPU via *sort + segmented
+    reduce* (visible in the HLO). Measured: one flat (33.5M,)->(8.4M,)
+    f32 scatter-add = 39 ms, and **two scatters sharing the same indices
+    cost the same 39 ms total** (XLA batches them into one variadic
+    sort). A hand-rolled sort1x + cumsum-diff pipeline measured 51 ms —
+    XLA's own lowering wins. The round-2 serial Pallas VMEM-RMW kernel
+    measured ~1000x slower (23.8k samples/s end to end); it survives
+    below as an opt-in (``pallas_scatter=True``) for tiny batches and as
+    the measured before/after reference, with its padding fixed to
+    accept any batch size.
 
-The level accumulators are grid-revisited blocks (same pattern as
-``cp_encoder._bwd_kernel``): program (l, b) accumulates batch block b
-into level l's block, which Mosaic keeps in VMEM across the inner grid
-dimension.
+Speed-of-light note: the scatter *is* a sort on this hardware — there is
+no vectorized scatter primitive (Pallas VMEM writes are contiguous-slice
+only, so any scatter decomposes to serial row RMW), and an MXU one-hot
+formulation needs 2*T*F FLOPs per corner (~2 MFLOP at T=2^19) — orders
+over budget. XLA's fused sort-scatter is therefore the practical floor;
+the full encoder fwd+grad measures ~1.1 ns per gathered element.
 """
 
 from __future__ import annotations
@@ -96,19 +100,22 @@ def hash_grad_scatter(
     zero-initialized (n_entries, 2) table — Pallas VMEM formulation of
     ``jnp.zeros((T, 2)).at[idx].add(values)``.
 
-    ``idx`` entries < 0 are skipped (used for batch padding).
-    ``n_entries`` must be a multiple of 64 (hash tables are powers of 2).
+    ``idx`` entries < 0 are skipped (used for batch padding). ``B`` may be
+    arbitrary; both operands are padded here (once) to the kernel's block
+    size. ``n_entries`` must be a multiple of 64 (hash tables are powers
+    of 2).
+
+    NOTE measured on v5e (round 3): the serial VMEM RMW loop is ~1000x
+    slower than XLA's sort-based scatter-add at training batch sizes.
+    This kernel is kept as the opt-in/reference implementation only.
     """
     B = idx.shape[0]
-    # pack (B, 2) values into (B // 64, 128) rows. Callers with
-    # lane-friendly inputs should build the packed layout themselves and
-    # call :func:`hash_grad_scatter_packed` — a (B, 2) tensor's tiled
-    # layout pads the minor dim 2 -> 128 (64x HBM) at large B.
     pad = (-B) % BLK
     if pad:
         values = jnp.concatenate(
             [values, jnp.zeros((pad, 2), values.dtype)]
         )
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
     v_packed = values.astype(jnp.float32).reshape(-1, LANES)
     return hash_grad_scatter_packed(idx, v_packed, n_entries)
 
@@ -119,9 +126,16 @@ def hash_grad_scatter_packed(
     """:func:`hash_grad_scatter` with the values already lane-packed:
     ``v_packed (B // 64, 128)`` f32 where corner ``i``'s feature pair
     lives at row ``i // 64``, lanes ``(2 * (i % 64), 2 * (i % 64) + 1)``.
+
+    ``idx`` must be a multiple of ``BLK`` long OR consistent with
+    ``v_packed`` (``len(idx) == v_packed.shape[0] * 64``); any remaining
+    block padding is applied here to both operands together.
     """
     assert n_entries % PACK == 0
     B = idx.shape[0]
+    assert v_packed.shape[0] * PACK == B, (
+        f"idx ({B}) and v_packed ({v_packed.shape[0]} rows) disagree"
+    )
     pad = (-B) % BLK
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
@@ -155,13 +169,22 @@ def hash_grad_scatter_packed(
     return out.reshape(n_entries, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def hash_encode_lookup(table, flat_idx, corner_w, n_entries_per_level):
-    """Multi-level hash-table lookup + trilinear blend with the Pallas
-    scatter backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def hash_encode_lookup(
+    table, flat_idx, corner_w, n_entries_per_level, pallas_scatter=False,
+    packed_gather=True,
+):
+    """Multi-level hash-table lookup + trilinear blend, with a custom
+    backward that produces ONLY the table gradient.
 
     Args:
-        table: (L * T, 2) f32 flat per-level tables (T entries each).
+        table: (2 * L * T,) f32 FLAT feature-major tables: ``[:L*T]`` is
+            feature 0 of all levels, ``[L*T:]`` feature 1 (T entries per
+            level). 1-D on purpose: a ``(L*T, 2)`` parameter tiles its
+            trailing dims to (8, 128) on TPU — the 67 MB table becomes a
+            4.3 GB resident array, and its adam moments another 8.6 GB
+            (the round-3 first-bench 4 s/step was table-layout traffic,
+            traced). A 1-D array is tiled T(1024) with zero padding.
         flat_idx: (N, L * 8) int32 lane-packed indices into ``table``
             (level offsets already added; level l's corners at lanes
             ``l * 8 .. l * 8 + 8``). Lane-packed rather than (N, L, 8):
@@ -169,61 +192,204 @@ def hash_encode_lookup(table, flat_idx, corner_w, n_entries_per_level):
             at bench scale (N = 786k) was a measured multi-GB OOM.
         corner_w: (N, L * 8) f32 trilinear corner weights, same packing.
         n_entries_per_level: static T.
+        pallas_scatter: use the serial Pallas VMEM scatter for the table
+            gradient instead of XLA's sort-based scatter-add. Measured
+            ~1000x slower at training scale — opt-in for tiny batches /
+            kernel-equivalence tests only.
+        packed_gather: gather bf16-packed feature pairs (one u32 gather
+            instead of two f32 gathers — 2x fewer gathers on a
+            gather-issue-bound op; tcnn-equivalent fp16-class table
+            reads). False = full-f32 reads, two gathers.
 
     Returns:
-        (N, L, 2) f32 blended features.
+        (N, 2 * L) f32 blended features, feature-major: columns
+        ``[:L]`` are feature 0 of every level, ``[L:]`` feature 1.
+        2-D on purpose: a ``(N, L, 2)`` output tile-pads its minor dims
+        (2 -> 128 lanes, 64x HBM) and the relayout copies dominated the
+        round-3 first on-chip run (5 s/step, traced); ``(N, 2L)`` is one
+        clean (8, 128)-tiled array. Feature order is a fixed permutation
+        of the reference's interleaved layout — downstream MLPs learn
+        under any fixed order.
 
-    The forward runs one 1-D gather per feature column ((N, L*8)-shaped
-    output, zero layout padding) instead of a single (N, L, 8, 2) row
-    gather (64x lane padding on the trailing feature pair). The backward
-    produces the table gradient via one VMEM-resident
-    :func:`hash_grad_scatter_packed` per level (a level's 4 MB
-    accumulator fits VMEM; the full 64 MB table does not) and **zero**
-    cotangents for ``flat_idx``/``corner_w`` — sample positions are
+    The backward returns a ``float0``-style zero for ``flat_idx`` (int
+    primal) and zeros for ``corner_w`` — sample positions are
     stop-gradient throughout this framework (sampling is
-    non-differentiable), matching ``cp_encoder``'s convention.
+    non-differentiable), matching ``cp_encoder``'s convention. vs the
+    reference: tcnn's encoder backward is the same table-only scatter
+    (``atomicAdd`` per corner); positions get no gradient there either
+    when the input is detached (the NGP example's usage).
     """
     return _lookup_fwd_impl(table, flat_idx, corner_w)
 
 
-def _lookup_fwd_impl(table, flat_idx, corner_w):
+def _corner_sum_matrix(L: int) -> jnp.ndarray:
+    """(L*8, L) 0/1 matrix summing each level's 8 corner columns.
+
+    The 8-corner reduction as an MXU matmul: ``reshape(N, L, 8).sum(-1)``
+    materializes a 3-D intermediate whose (L, 8) minor dims tile-pad to
+    (L, 128) — 16x HBM + a relayout copy at bench scale (traced, round
+    3). ``(N, L*8) @ (L*8, L)`` stays on clean 2-D tiles end to end.
+    """
+    cols = jnp.arange(L * 8) // 8
+    return (cols[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+
+
+def _pack_table_u32(table):
+    """(2*L*T,) f32 feature-major -> (L*T,) u32 of packed bf16 pairs.
+
+    TPU has no per-lane gather unit: XLA's 1-D gather floor measures
+    ~3 ns per index regardless of operand size/placement, so the encoder
+    forward is gather-ISSUE-bound. Packing feature 0 (high 16 bits) and
+    feature 1 (low) as bf16 halves one u32 entry HALVES the number of
+    gathers — the single biggest lever left. bf16 table reads match
+    tcnn's fp16-table precision model (its CUDA kernels read __half);
+    the master parameter and the adam update stay f32.
+    """
+    LT = table.shape[0] // 2
+    f0 = table[:LT].astype(jnp.bfloat16)
+    f1 = table[LT:].astype(jnp.bfloat16)
+    hi = jax.lax.shift_left(
+        jax.lax.bitcast_convert_type(f0, jnp.uint16).astype(jnp.uint32),
+        jnp.uint32(16),
+    )
+    lo = jax.lax.bitcast_convert_type(f1, jnp.uint16).astype(jnp.uint32)
+    return hi | lo
+
+
+def _unpack_u32(g):
+    """(…,) u32 packed pairs -> two f32 arrays (feature 0, feature 1)."""
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(g, jnp.uint32(16)).astype(jnp.uint16),
+        jnp.bfloat16,
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (g & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
+def _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather=True):
     N, L8 = flat_idx.shape
     L = L8 // 8
-    tf = table.astype(jnp.float32)
-    # per-feature 1-D gathers: (N, L*8) outputs, perfectly lane-tiled
-    f0 = (tf[:, 0][flat_idx] * corner_w).reshape(N, L, 8).sum(-1)
-    f1 = (tf[:, 1][flat_idx] * corner_w).reshape(N, L, 8).sum(-1)
-    return jnp.stack([f0, f1], axis=-1)  # (N, L, 2)
+    LT = table.shape[0] // 2
+    S = _corner_sum_matrix(L)
+    if packed_gather:
+        packed = _pack_table_u32(table.astype(jnp.float32))  # (L*T,) u32
+        # fusion firewall: keep the (heavy, fused) index computation out
+        # of the gather op so the gather keeps its native lowering and
+        # the packed table build isn't re-fused per consumer
+        flat_idx, corner_w, packed = jax.lax.optimization_barrier(
+            (flat_idx, corner_w, packed)
+        )
+        g = packed[flat_idx]  # ONE (N, L*8) u32 gather, both features
+        f0, f1 = _unpack_u32(g)
+    else:
+        tf = table.astype(jnp.float32)
+        flat_idx, corner_w = jax.lax.optimization_barrier(
+            (flat_idx, corner_w)
+        )
+        f0 = tf[:LT][flat_idx]
+        f1 = tf[LT:][flat_idx]
+    out0 = jnp.dot(f0 * corner_w, S, preferred_element_type=jnp.float32)
+    out1 = jnp.dot(f1 * corner_w, S, preferred_element_type=jnp.float32)
+    return jnp.concatenate([out0, out1], axis=1)  # (N, 2L)
 
 
-def _lookup_fwd(table, flat_idx, corner_w, n_entries_per_level):
-    out = _lookup_fwd_impl(table, flat_idx, corner_w)
+def _lookup_fwd(
+    table, flat_idx, corner_w, n_entries_per_level, pallas_scatter,
+    packed_gather,
+):
+    out = _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather)
     return out, (flat_idx, corner_w, table.shape)
 
 
-def _lookup_bwd(n_entries_per_level, res, g):
-    flat_idx, corner_w, table_shape = res
+def _bwd_xla(flat_idx, corner_w, g, table_shape):
+    """Table gradient via two flat scatter-adds sharing one index set.
+
+    XLA lowers both into ONE sort + segmented reduce (measured: two
+    scatters with distinct values cost the same 39 ms as one at 33.5M
+    corners on v5e) — the fastest exact formulation available on TPU.
+    ``g`` is the (N, 2L) feature-major cotangent; the broadcast of each
+    level's cotangent over its 8 corners is an MXU matmul with the
+    transposed corner-sum matrix (2-D tiles only, no repeat/reshape).
+    """
+    N, L8 = flat_idx.shape
+    L = L8 // 8
+    LT = table_shape[0] // 2
+    St = _corner_sum_matrix(L).T  # (L, L*8)
+    # same fusion firewall as the forward: a fused producer would get
+    # input-fused into the scatter and serialize it
+    vs = [
+        (corner_w * jnp.dot(
+            g[:, f * L:(f + 1) * L], St,
+            preferred_element_type=jnp.float32,
+        )).reshape(-1)
+        for f in range(2)
+    ]
+    idx, v0, v1 = jax.lax.optimization_barrier(
+        (flat_idx.reshape(-1), vs[0], vs[1])
+    )
+    # two 1-D scatters sharing one index set (XLA: one variadic sort),
+    # concatenated feature-major — all 1-D, zero layout padding
+    return jnp.concatenate(
+        [
+            jnp.zeros((LT,), jnp.float32).at[idx].add(v0),
+            jnp.zeros((LT,), jnp.float32).at[idx].add(v1),
+        ]
+    )
+
+
+def _bwd_pallas(flat_idx, corner_w, g, n_entries_per_level, table_shape):
+    """Per-level Pallas VMEM scatter (opt-in; see module docstring)."""
     N, L8 = flat_idx.shape
     L = L8 // 8
     T = n_entries_per_level
-    g = g.astype(jnp.float32)
     grads = []
     for level in range(L):
         sl = slice(level * 8, level * 8 + 8)
         idx_l = flat_idx[:, sl].reshape(-1) - level * T  # (N*8,)
         # corner cotangents v_f = w * g_f, built directly in the packed
         # (B // 64, 128) layout (interleaved feature pairs) — never a
-        # (B, 2)-shaped tensor, whose tiled layout pads 64x.
-        v0 = (corner_w[:, sl] * g[:, level, 0][:, None]).reshape(-1, PACK)
-        v1 = (corner_w[:, sl] * g[:, level, 1][:, None]).reshape(-1, PACK)
-        v_packed = jnp.stack([v0, v1], axis=-1).reshape(-1, LANES)
+        # (B, 2)-shaped tensor, whose tiled layout pads 64x. The corner
+        # stream is padded to a PACK multiple first so any N works
+        # (round-2 advisor finding: N % 8 != 0 crashed the reshape).
+        v0 = (corner_w[:, sl] * g[:, level][:, None]).reshape(-1)
+        v1 = (corner_w[:, sl] * g[:, L + level][:, None]).reshape(-1)
+        B = idx_l.shape[0]
+        pad = (-B) % PACK
+        if pad:
+            idx_l = jnp.concatenate(
+                [idx_l, jnp.full((pad,), -1, jnp.int32)]
+            )
+            zeros = jnp.zeros((pad,), v0.dtype)
+            v0 = jnp.concatenate([v0, zeros])
+            v1 = jnp.concatenate([v1, zeros])
+        v_packed = jnp.stack(
+            [v0.reshape(-1, PACK), v1.reshape(-1, PACK)], axis=-1
+        ).reshape(-1, LANES)
         grads.append(hash_grad_scatter_packed(idx_l, v_packed, T))
-    d_table = jnp.concatenate(grads, axis=0).astype(jnp.float32)
-    return (
-        d_table.reshape(table_shape),
-        jnp.zeros(flat_idx.shape, jnp.float32),
-        jnp.zeros_like(corner_w),
+    # per-level (T, 2) kernel outputs -> the flat feature-major layout
+    return jnp.concatenate(
+        [jnp.concatenate([gr[:, f] for gr in grads]) for f in range(2)]
     )
+
+
+def _lookup_bwd(n_entries_per_level, pallas_scatter, packed_gather, res, g):
+    flat_idx, corner_w, table_shape = res
+    g = g.astype(jnp.float32)
+    if pallas_scatter:
+        d_table = _bwd_pallas(
+            flat_idx, corner_w, g, n_entries_per_level, table_shape
+        )
+    else:
+        d_table = _bwd_xla(flat_idx, corner_w, g, table_shape)
+    # int primal gets a float0 zero (JAX's convention for non-float
+    # primals — cf. vol_rendering._int_zero_cotangent); corner_w is
+    # stop-gradient by design.
+    zero_idx = jax.custom_derivatives.zero_from_primal(
+        flat_idx, symbolic_zeros=False
+    )
+    return (d_table, zero_idx, jnp.zeros_like(corner_w))
 
 
 hash_encode_lookup.defvjp(_lookup_fwd, _lookup_bwd)

@@ -13,6 +13,7 @@ step time go" question.
 
 Usage:
     python scripts/xplane.py [trace.xplane.pb] [--plane SUBSTR] [--top N]
+                             [--no-merge]   # keep fusion.NNN ids separate
 
 With no path, picks the newest ``/tmp/jax_trace/**/*.xplane.pb``.
 Prints per-plane (device) op-time aggregation grouped by event name.
@@ -151,6 +152,7 @@ def main(argv):
     path = None
     plane_filter = None
     top = 30
+    merge = True
     args = list(argv)
     while args:
         a = args.pop(0)
@@ -158,6 +160,8 @@ def main(argv):
             plane_filter = args.pop(0)
         elif a == "--top":
             top = int(args.pop(0))
+        elif a == "--no-merge":
+            merge = False
         else:
             path = a
     if path is None or os.path.isdir(path):
@@ -176,7 +180,7 @@ def main(argv):
     for plane in planes:
         if plane_filter and plane_filter not in plane["name"]:
             continue
-        agg = aggregate(plane)
+        agg = aggregate(plane, merge_fusion_ids=merge)
         total_ps = sum(v[0] for v in agg.values())
         if not total_ps:
             continue

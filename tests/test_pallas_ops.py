@@ -128,8 +128,10 @@ def test_hash_encoder_pallas_grad_matches_xla():
     from nerfacc_tpu.models import HashEncoder
 
     rng = np.random.RandomState(8)
-    x = jnp.asarray(rng.rand(200, 3), jnp.float32)
-    g = jnp.asarray(rng.randn(200, 8), jnp.float32)
+    # 203 samples: NOT a multiple of 8 — regression check for the round-2
+    # advisor finding (the packed reshape crashed unless N % 8 == 0)
+    x = jnp.asarray(rng.rand(203, 3), jnp.float32)
+    g = jnp.asarray(rng.randn(203, 8), jnp.float32)
     kw = dict(n_levels=4, log2_hashmap_size=10, base_resolution=4)
     enc_p = HashEncoder(pallas_grad=True, **kw)
     enc_x = HashEncoder(pallas_grad=False, **kw)

@@ -77,8 +77,8 @@ def test_cp_encoder_lowers_for_tpu(monkeypatch):
 
 def test_flagship_render_path_lowers_for_tpu():
     """The driver's single-chip compile check (__graft_entry__.entry) with
-    the fused Pallas march kernels forced ON — the exact graph the real
-    chip sees (entry()'s use_pallas auto-gate resolves True there)."""
+    the fused Pallas march kernels forced ON (opt-in path; the XLA
+    op-chain is the default) — validates the kernels still lower for TPU."""
     import __graft_entry__ as ge
     from nerfacc_tpu.utils import render_rays
 
