@@ -304,18 +304,29 @@ def _lookup_fwd(
 
 
 def _bwd_xla(flat_idx, corner_w, g, table_shape):
-    """Table gradient via two flat scatter-adds sharing one index set.
+    """Table gradient via PER-LEVEL scatter-adds (two features sharing
+    each level's index set).
 
-    XLA lowers both into ONE sort + segmented reduce (measured: two
-    scatters with distinct values cost the same 39 ms as one at 33.5M
-    corners on v5e) — the fastest exact formulation available on TPU.
+    Measured on v5e at bench scale (100.7M corners,
+    ``scripts/bench_hash_primitives6.py``): XLA's sort-based scatter-add
+    is LINEAR at ~6 ns/corner, and the shared-idx two-feature variadic
+    batching only happens for the smaller per-level sorts — 16 x
+    [6.3M -> 524k] x2 features = 688 ms vs 1187 ms for the two flat
+    100.7M scatters (the round-3 first formulation; its "two scatters
+    cost one" microbench figure did not reproduce at 100M). Per-level
+    splitting is the measured-fastest exact table gradient.
+
     ``g`` is the (N, 2L) feature-major cotangent; the broadcast of each
     level's cotangent over its 8 corners is an MXU matmul with the
     transposed corner-sum matrix (2-D tiles only, no repeat/reshape).
+    The per-level corner streams are carved out of ONE (L, 8N)
+    transpose-reshape of the (N, L*8) arrays — major-dim slices, no
+    lane-padded intermediates.
     """
     N, L8 = flat_idx.shape
     L = L8 // 8
     LT = table_shape[0] // 2
+    T = LT // L
     St = _corner_sum_matrix(L).T  # (L, L*8)
     # same fusion firewall as the forward: a fused producer would get
     # input-fused into the scatter and serialize it
@@ -323,20 +334,25 @@ def _bwd_xla(flat_idx, corner_w, g, table_shape):
         (corner_w * jnp.dot(
             g[:, f * L:(f + 1) * L], St,
             preferred_element_type=jnp.float32,
-        )).reshape(-1)
+        ))
         for f in range(2)
     ]
     idx, v0, v1 = jax.lax.optimization_barrier(
-        (flat_idx.reshape(-1), vs[0], vs[1])
+        (flat_idx, vs[0], vs[1])
     )
-    # two 1-D scatters sharing one index set (XLA: one variadic sort),
-    # concatenated feature-major — all 1-D, zero layout padding
-    return jnp.concatenate(
-        [
-            jnp.zeros((LT,), jnp.float32).at[idx].add(v0),
-            jnp.zeros((LT,), jnp.float32).at[idx].add(v1),
-        ]
-    )
+    # (N, L*8) -> (L*8, N) -> (L, 8N): level l's corner stream is row l
+    idx_l = idx.T.reshape(L, 8 * N)
+    v0_l = v0.T.reshape(L, 8 * N)
+    v1_l = v1.T.reshape(L, 8 * N)
+    off = jnp.arange(L, dtype=jnp.int32)[:, None] * jnp.int32(T)
+    idx_l = idx_l - off  # strip the level offset -> [0, T)
+    g0, g1 = [], []
+    for level in range(L):
+        g0.append(jnp.zeros((T,), jnp.float32).at[idx_l[level]].add(
+            v0_l[level]))
+        g1.append(jnp.zeros((T,), jnp.float32).at[idx_l[level]].add(
+            v1_l[level]))
+    return jnp.concatenate(g0 + g1)
 
 
 def _bwd_pallas(flat_idx, corner_w, g, n_entries_per_level, table_shape):

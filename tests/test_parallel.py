@@ -79,6 +79,114 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_sharded_train_step_matches_single_device_bench_shapes():
+    """Round-3 (VERDICT #6): sharded == single-device at BENCH-LIKE
+    shapes — 4096 rays/device x 64 slots with the flagship probe config
+    (coarse_stride 16, dilation-2 adaptive probes, empty-ray compaction),
+    on the full differentiable path: per-ray colors AND the psum'd
+    parameter gradients must match the unsharded full-batch run.
+
+    The toy-scale twin above proves the collective set; this one proves
+    the sharded program is numerically the same *program* at the shapes
+    the throughput claims are made at (the virtual CPU mesh can't measure
+    speed, but it can measure equality)."""
+    from nerfacc_tpu import with_binary
+    from nerfacc_tpu.models import TensoCPRadianceField
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    n_rays = 4096 * n_dev
+    k_slots = 64
+
+    rng = np.random.RandomState(11)
+    rays_o = jnp.asarray(rng.rand(n_rays, 3) * 2 - 1, jnp.float32)
+    rays_d = jnp.asarray(rng.randn(n_rays, 3), jnp.float32)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pixels = jnp.asarray(rng.rand(n_rays, 3), jnp.float32)
+
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+    field = TensoCPRadianceField(
+        aabb=(-1.5, -1.5, -1.5, 1.5, 1.5, 1.5), levels=((64, 32), (256, 64))
+    )
+    params = field.init(
+        jax.random.PRNGKey(1), jnp.zeros((8, 3)), jnp.zeros((8, 3))
+    )
+    # half-occupied cube, same culling structure as bench.py's halfcube
+    grid = create_grid(aabb, resolution=64, occupied=True)
+    binary = np.zeros((64, 64, 64), bool)
+    binary[16:48, 16:48, 16:48] = True
+    grid = with_binary(grid, jnp.asarray(binary))
+
+    kwargs = dict(
+        scene_aabb=aabb, render_step_size=2e-2, max_samples_per_ray=1024,
+        coarse_stride=16, probe_dilation=2, probe_groups=32,
+        # hit rate of the half cube is ~55-60%; headroom so neither the
+        # global nor any per-shard run truncates live rays (truncation
+        # sets are rank-dependent and would legitimately differ)
+        compact_rays_fraction=0.875,
+    )
+
+    def loss_and_colors(params, grid, o, d, px):
+        def loss_fn(p):
+            colors, _, _, _ = render_rays(
+                p, field, o, d, grid=grid, render_bkgd=jnp.ones(3),
+                samples_budget=o.shape[0] * k_slots, **kwargs,
+            )
+            return jnp.mean((colors - px) ** 2), colors
+
+        (loss, colors), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, colors, grads
+
+    ref_loss, ref_colors, ref_grads = jax.jit(loss_and_colors)(
+        params, grid, rays_o, rays_d, pixels
+    )
+
+    def sharded_step(params, grid, o, d, px):
+        loss, colors, grads = loss_and_colors(params, grid, o, d, px)
+        # equal shard sizes: pmean of per-shard means == global mean
+        loss = jax.lax.pmean(loss, axis_name="data")
+        grads = jax.lax.pmean(grads, axis_name="data")
+        return loss, colors, grads
+
+    stepped = jax.jit(
+        shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P("data"), P()),
+            check_rep=False,
+        )
+    )
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    got_loss, got_colors, got_grads = stepped(
+        jax.device_put(params, rep), jax.device_put(grid, rep),
+        jax.device_put(rays_o, sh), jax.device_put(rays_d, sh),
+        jax.device_put(pixels, sh),
+    )
+
+    # per-ray outputs: identical programs per row -> tight tolerance
+    np.testing.assert_allclose(
+        np.asarray(got_colors), np.asarray(ref_colors),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    # gradients: reduction ORDER differs (per-shard sums then psum vs one
+    # full-batch sum) -> fp-accumulation tolerance only
+    flat_ref, _ = jax.tree.flatten(ref_grads)
+    flat_got, _ = jax.tree.flatten(got_grads)
+    for r, g in zip(flat_ref, flat_got):
+        # near-zero leaves (e.g. a dormant head's bias) carry 1e-9-scale
+        # fp-accumulation noise with O(1) relative error — the absolute
+        # floor keeps the check meaningful without failing on noise
+        scale = max(float(jnp.max(jnp.abs(r))), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=5e-4,
+            atol=max(5e-5 * scale, 1e-8),
+        )
+
+
 def test_update_grid_distributed_merges_more_cells():
     """Per-chip EMA updates with folded keys + pmax merge: the merged grid
     accumulates at least as many occupied cells as any single-chip update,
