@@ -101,7 +101,6 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run save_grid      python scripts/save_bench_grid.py --steps 2000
   [ -f bench_assets/trained_grid.npz ] && \
     run bench_ngp_trained python bench.py --model ngp --grid trained
-  run bench_eval     python bench.py --mode eval
 
   # --- VERDICT #3 debts: cone-angle A/B, both scenes ---
   run q_base1k  python "${TQ[@]}"
@@ -124,12 +123,20 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run dn_10k    python "${DN[@]}" --max_steps 10000 --warp_depth 6 \
                 --warp_width 128 --time_degree 8
 
-  # --- hash-NGP quality gate (the new viable path) ---
-  run q_ngp1k python "${NGPQ[@]}"
-  run q_ngp2k python "${NGPQ[@]}" --max_steps 2000
+  # --- eval-mode inference regression number ---
+  run bench_eval     python bench.py --mode eval
+
+  # --- VERDICT #7: boundary-scoped re-check A/B (march-only) ---
+  run recheck_ab python scripts/bench_recheck_ab.py
+
+  # --- VERDICT #1: hash-NGP composition bisect (where do the seconds go) ---
+  run bisect_ngp python scripts/bisect_ngp4.py
 
   # --- VERDICT #8: real-data readiness drill (on-chip, real loader) ---
   run realdata_drill python scripts/run_realdata_drill.py --max_steps 1000
+
+  # --- hash-NGP quality gate ---
+  run q_ngp1k python "${NGPQ[@]}"
 
   # --- step anatomy after the hash fixes ---
   run bench_ngp_trace python bench.py --model ngp --iters 3 --trace /tmp/r3_trace
