@@ -1,0 +1,93 @@
+"""Collect round-3 measurement logs into a summary.
+
+Reads .bench_logs/*.log (written by scripts/run_round3_until_done.sh and
+the CPU sweep scripts), extracts the one-line JSON of bench runs and the
+PSNR / train-time lines of quality runs, and writes QUALITY_r3.json plus
+a markdown summary to stdout.
+
+    python scripts/collect_round2.py [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+LOGS = REPO / ".bench_logs"
+
+
+def parse_log(path: Path) -> dict | None:
+    text = path.read_text(errors="replace")
+    if "Unable to initialize backend" in text:
+        return {"status": "backend_unavailable"}
+    out: dict = {"status": "ok"}
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                out.update(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+        m = re.match(r"PSNR: ([0-9.]+)", line)
+        if m:
+            out["psnr"] = float(m.group(1))
+        m = re.match(r"train_time_s: ([0-9.]+)", line)
+        if m:
+            out["train_time_s"] = float(m.group(1))
+    if len(out) == 1:
+        out["status"] = "no_result"
+        out["tail"] = text.strip().splitlines()[-1][:200] if text.strip() else ""
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--write", action="store_true",
+        help="write QUALITY_r3.json at the repo root",
+    )
+    args = ap.parse_args()
+    if not LOGS.is_dir():
+        print("no .bench_logs directory")
+        return 1
+    results = {}
+    for log in sorted(LOGS.glob("*.log")):
+        name = log.stem
+        parsed = parse_log(log)
+        parsed["done"] = (LOGS / f"{name}.ok").exists()
+        results[name] = parsed
+
+    print("| step | status | result |")
+    print("|---|---|---|")
+    for name, r in results.items():
+        if r.get("value") is not None:
+            res = (f"{r['value']:,.0f} {r.get('unit', '')} "
+                   f"(vs_baseline {r.get('vs_baseline')})")
+        elif r.get("psnr") is not None:
+            res = (f"PSNR {r['psnr']} @ {r.get('train_time_s', '?')}s")
+        else:
+            res = r.get("tail", "")
+        ok = "ok" if r["done"] else r["status"]
+        print(f"| {name} | {ok} | {res} |")
+
+    if args.write:
+        quality = {
+            n: {k: v for k, v in r.items() if k in
+                ("psnr", "train_time_s", "value", "unit", "vs_baseline",
+                 "model", "grid", "quant_int8", "visible_budget_ratio",
+                 "rays_per_s", "done")}
+            for n, r in results.items()
+            if r["status"] == "ok"
+        }
+        (REPO / "QUALITY_r3.json").write_text(
+            json.dumps(quality, indent=1) + "\n"
+        )
+        print(f"\nwrote QUALITY_r3.json ({len(quality)} entries)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
