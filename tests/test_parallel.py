@@ -173,17 +173,25 @@ def test_sharded_train_step_matches_single_device_bench_shapes():
     )
     np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
     # gradients: reduction ORDER differs (per-shard sums then psum vs one
-    # full-batch sum) -> fp-accumulation tolerance only
+    # full-batch sum). MEASURED basis for the criterion (round 4): the
+    # sharded-vs-global divergence is a uniform ~1.8e-3 relative L2 on
+    # EVERY leaf — and a single-device control (grads of the full batch
+    # vs the mean of 8 slice grads, no shard_map, no collectives)
+    # reproduces the same 1.6-1.9e-3 per leaf exactly. The divergence is
+    # batch-split fp accumulation (per-sample contributions cancel
+    # heavily at init, so the relative noise is far above eps), NOT a
+    # collective defect. Element-wise atol/rtol is the wrong shape for
+    # this noise (round-3 shipped a red test over a 1.49e-8 element);
+    # per-leaf relative L2 with ~3x margin is the right check — any real
+    # psum/sharding bug produces O(1) relative errors.
     flat_ref, _ = jax.tree.flatten(ref_grads)
     flat_got, _ = jax.tree.flatten(got_grads)
     for r, g in zip(flat_ref, flat_got):
-        # near-zero leaves (e.g. a dormant head's bias) carry 1e-9-scale
-        # fp-accumulation noise with O(1) relative error — the absolute
-        # floor keeps the check meaningful without failing on noise
-        scale = max(float(jnp.max(jnp.abs(r))), 1e-8)
-        np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), rtol=5e-4,
-            atol=max(5e-5 * scale, 1e-8),
+        diff = np.linalg.norm(np.asarray(g) - np.asarray(r))
+        ref_n = np.linalg.norm(np.asarray(r))
+        assert diff <= 5e-3 * ref_n + 1e-12, (
+            f"leaf shape {r.shape}: relative L2 {diff / max(ref_n, 1e-30):.2e} "
+            "exceeds the measured reduction-order noise envelope (5e-3)"
         )
 
 
