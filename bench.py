@@ -83,6 +83,16 @@ def main():
         "ratio * samples_budget re-selected visible slots",
     )
     ap.add_argument(
+        "--field_budget_ratio", type=float, default=-1.0,
+        help="compact the radiance-field evaluation to ratio * "
+        "samples_budget march-live slots (ops/sample_compact.py). "
+        "Gather-bound encoders pay ~1.1 ns per gathered element per "
+        "slot, live or dead; at the bench's ~40%% slot occupancy "
+        "compaction is a direct win for --model ngp. MXU-cheap fields "
+        "lose (glue > dead-lane FLOPs). Default -1 = auto: 0.5 for ngp, "
+        "off for tensorf",
+    )
+    ap.add_argument(
         "--mode", choices=["train", "eval"], default="train",
         help="train: full differentiable step (the headline metric); "
         "eval: forward-only render (inference rays/s + samples/s)",
@@ -162,6 +172,11 @@ def main():
         kwargs["visible_samples_budget"] = int(
             samples_budget * args.visible_budget_ratio
         )
+    field_ratio = args.field_budget_ratio
+    if field_ratio < 0:
+        field_ratio = 0.5 if args.model == "ngp" else 0.0
+    if field_ratio > 0:
+        kwargs["field_samples_budget"] = int(samples_budget * field_ratio)
 
     if args.mode == "eval":
         # inference path: forward-only render (no grad, no optimizer).
@@ -321,6 +336,7 @@ def main():
                 "grid": args.grid,
                 "quant_int8": args.quant_int8,
                 "visible_budget_ratio": args.visible_budget_ratio,
+                "field_budget_ratio": field_ratio,
                 # the kwargs actually used by the final train_step (the
                 # warmup may have fallen back to use_pallas=False above)
                 "fused_march": bool(kwargs.get("use_pallas")),

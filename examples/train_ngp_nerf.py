@@ -190,6 +190,20 @@ def main():
         "dilated grid every C-th candidate and selects chunk-level - "
         "faster march, slightly coarser sample placement)",
     )
+    p.add_argument(
+        "--field_budget_ratio", type=float, default=-1.0,
+        help="compact the radiance-field evaluation to ratio * "
+        "samples_budget march-live slots (ops/sample_compact.py; exact "
+        "— test-enforced). Default -1 = auto: 0.5 for --model ngp "
+        "(gather-bound encoder), off for tensorf (MXU-cheap field)",
+    )
+    p.add_argument(
+        "--fused_march", action="store_true",
+        help="use the fused Pallas march-select kernels instead of the "
+        "default XLA op-chain selection (bit-identical sample sets by "
+        "design — tests/test_models.py; this flag exists to verify that "
+        "at training scale: the round-3 gate A/B, docs/benchmarks.md)",
+    )
     args = p.parse_args()
 
     if args.scene == "procedural":
@@ -307,7 +321,15 @@ def main():
         visible_samples_budget=args.visible_samples_budget,
         exact_recheck=bool(args.exact_recheck),
         probe_groups=args.probe_groups or None,
+        use_pallas=True if args.fused_march else None,
     )
+    field_ratio = args.field_budget_ratio
+    if field_ratio < 0:
+        field_ratio = 0.5 if args.model == "ngp" else 0.0
+    if field_ratio > 0:
+        render_kwargs["field_samples_budget"] = int(
+            args.samples_budget * field_ratio
+        )
 
     has_bkgd = render_bkgd is not None
 

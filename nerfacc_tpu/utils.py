@@ -101,6 +101,62 @@ def _dense_field_query(field, params, x, rays_d=None, timestamps=None,
     return rgbs.reshape(R, K, 3), sigmas.reshape(R, K)
 
 
+def _compact_field_query(
+    field, params, rays_o, rays_d, t_starts, t_ends, masks, m_budget,
+    timestamps=None, density_only=False,
+):
+    """Query the field on the live slots only (gather-bound encoders).
+
+    Compacts the (R, K) slot buffer's live samples into ``m_budget``
+    entries (ops/sample_compact.py), evaluates the field there, and
+    expands rgb/sigma back to the dense layout with a gather-transpose
+    custom VJP. Returns (rgbs (R,K,3), sigmas (R,K), masks) — or
+    (sigmas, masks) with ``density_only`` — where masks excludes any
+    over-budget drops (size the budget above the scene's live count;
+    ``masks.sum()`` reports the true rendered count either way).
+    """
+    from .ops.sample_compact import compact_live_slots, expand_compact
+
+    R, K = masks.shape
+    m_budget = min(m_budget, R * K)  # a budget beyond the buffer is free
+    pos, ok, rank, keep = compact_live_slots(masks, m_budget)
+    t_mid = ((t_starts + t_ends) * 0.5).reshape(-1)
+    tc = t_mid[pos]  # (M,)
+    ridx = pos // K  # (M,) each compact sample's ray
+    # one fused row gather for every per-ray quantity (see the ray-
+    # compaction path above: separate gathers pay a serial index chain)
+    parts = [rays_o, rays_d]
+    if timestamps is not None:
+        parts.append(timestamps)
+    payload = jnp.concatenate(parts, axis=1)[ridx]  # (M, D)
+    oc, dc = payload[:, 0:3], payload[:, 3:6]
+    xc = oc + tc[:, None] * dc
+    tsc = payload[:, 6:] if timestamps is not None else None
+    if density_only:
+        if tsc is None:
+            sigmas_c = field.apply(params, xc, method=field.query_density)
+        else:
+            sigmas_c = field.apply(
+                params, xc, tsc, method=field.query_density
+            )
+        dense = expand_compact(
+            sigmas_c.reshape(-1, 1).astype(jnp.float32),
+            rank, keep.reshape(-1), pos, ok,
+        )
+        return dense[:, 0].reshape(R, K), keep
+    if tsc is None:
+        rgbs_c, sigmas_c = field.apply(params, xc, dc)
+    else:
+        rgbs_c, sigmas_c = field.apply(params, xc, tsc, dc)
+    vals = jnp.concatenate(
+        [rgbs_c.astype(jnp.float32), sigmas_c.reshape(-1, 1)], axis=1
+    )  # (M, 4)
+    dense = expand_compact(vals, rank, keep.reshape(-1), pos, ok)
+    rgbs = dense[:, :3].reshape(R, K, 3)
+    sigmas = dense[:, 3].reshape(R, K)
+    return rgbs, sigmas, keep
+
+
 def render_rays(
     params,
     field,
@@ -125,6 +181,7 @@ def render_rays(
     coarse_stride=1,
     probe_dilation=1,
     compact_rays_fraction=None,
+    field_samples_budget=None,
     prefilter_sigma=True,
     dt_max=1e10,
     return_extras=False,
@@ -251,10 +308,21 @@ def render_rays(
         # cull-then-render trick; pays for itself because stage 2 then
         # runs on fewer slots)
         sg_params = jax.lax.stop_gradient(params)
-        x = _dense_positions(rays_o, rays_d, segs.t_starts, segs.t_ends)
-        sigmas = _dense_field_query(
-            field, sg_params, x, timestamps=timestamps, density_only=True
-        )
+        if field_samples_budget is not None:
+            sigmas, keep1 = _compact_field_query(
+                field, sg_params, rays_o, rays_d, segs.t_starts,
+                segs.t_ends, segs.masks, field_samples_budget,
+                timestamps=timestamps, density_only=True,
+            )
+            segs = segs._replace(masks=keep1)
+        else:
+            x = _dense_positions(
+                rays_o, rays_d, segs.t_starts, segs.t_ends
+            )
+            sigmas = _dense_field_query(
+                field, sg_params, x, timestamps=timestamps,
+                density_only=True,
+            )
         alphas = 1.0 - jnp.exp(-sigmas * segs.deltas)
         vis = render_visibility_dense(
             alphas, segs.masks,
@@ -270,11 +338,23 @@ def render_rays(
     t_starts = jax.lax.stop_gradient(segs.t_starts)
     t_ends = jax.lax.stop_gradient(segs.t_ends)
     deltas = jax.lax.stop_gradient(segs.deltas)
-    x = _dense_positions(rays_o, rays_d, t_starts, t_ends)
-    rgbs, sigmas = _dense_field_query(
-        field, params, x, rays_d=rays_d, timestamps=timestamps
-    )
-    masks = segs.masks
+    if field_samples_budget is not None:
+        # live-sample compaction: evaluate the field only on march-live
+        # slots (gather-bound encoders pay per slot, live or dead — the
+        # hash-NGP path measured ~40% slot occupancy at bench shapes;
+        # see ops/sample_compact.py). MXU-cheap fields should leave this
+        # off: the glue costs more than the dead-lane FLOPs (measured
+        # round 2 on the two-stage variant).
+        rgbs, sigmas, masks = _compact_field_query(
+            field, params, rays_o, rays_d, t_starts, t_ends, segs.masks,
+            field_samples_budget, timestamps=timestamps,
+        )
+    else:
+        x = _dense_positions(rays_o, rays_d, t_starts, t_ends)
+        rgbs, sigmas = _dense_field_query(
+            field, params, x, rays_d=rays_d, timestamps=timestamps
+        )
+        masks = segs.masks
     if prefilter_sigma and not two_stage:
         # without recompaction the composite runs on every slot anyway, so
         # the visibility cull is pure mask refinement off the *same*
@@ -378,6 +458,16 @@ def render_image(
         and kwargs.get("visible_samples_budget") is not None
     ):
         kwargs["visible_samples_budget"] = chunk * eval_visible_samples_per_ray
+    # eval renders are EXACT: live-sample compaction (a train-step
+    # optimization — its budget is sized against the training batch's
+    # live count) is dropped here rather than rescaled, because the
+    # march-live fraction of a coherent eval view is scene-dependent
+    # and any fixed budget can silently drop live samples and
+    # black-hole pixels (measured on the NGP drive: train-sized budget
+    # 10.23 PSNR, 2x-rescaled 18.31, exact 23.4). The two-stage
+    # visibility re-selection above already bounds the eval-time field
+    # cost.
+    kwargs.pop("field_samples_budget", None)
     pad = (-n) % chunk
     timestamps = kwargs.pop("timestamps", None)
     if pad:

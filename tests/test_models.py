@@ -236,8 +236,10 @@ def test_tensocp_int8_matches_float_path():
 def test_ngp_hash_field_trains_end_to_end():
     """NGP hash-grid field through the full differentiable render path:
     a few optimizer steps on procedural GT rays must reduce the loss and
-    move the hash table via the Pallas scatter gradient (interpret mode
-    here; the same custom_vjp drives bench.py --model ngp on chip).
+    move the hash table via the encoder's table gradient (XLA
+    sort-scatter — the round-3 default that drives bench.py --model ngp
+    on chip; the round-2 serial Pallas scatter survives as the opt-in
+    ``pallas_grad=True`` equivalence reference).
 
     Covers the one NGP path no other test trains: field -> render_rays
     -> loss -> table/MLP grads -> adam. Reference workload:
