@@ -176,6 +176,14 @@ class DNeRFRadianceField(nn.Module):
             )
         )
 
+    def warp_displacement(self, x, t):
+        """The warp's displacement w(x, t) - x — exposed for
+        regularizers (the monocular D-NeRF setting has one view per
+        timestamp, so an unconstrained warp can memorize per-timestamp
+        appearance; magnitude/temporal-smoothness penalties keep it
+        interpolating — round-4 D-NeRF stability work)."""
+        return self._warp(x, t) - x
+
     def query_opacity(self, x, timestamps, step_size, key):
         idxs = jax.random.randint(key, (x.shape[0],), 0, timestamps.shape[0])
         t = timestamps[idxs]
