@@ -5,7 +5,7 @@ The reference's NGP example leans on tcnn's fused hash-grid CUDA kernel
 gather, backward a global-memory ``atomicAdd`` scatter.
 
 TPU design (round-3 measurements, ``docs/benchmarks.md`` and
-``scripts/bench_hash_primitives*.py`` on v5e):
+``scripts/bench_hash.py`` on v5e):
 
   * **Forward**: XLA's 1-D dynamic gather runs at ~0.4-0.5 ns/element —
     not the ~9 ns/element assumed in rounds 1-2 (that figure came from a
@@ -308,7 +308,7 @@ def _bwd_xla(flat_idx, corner_w, g, table_shape):
     each level's index set).
 
     Measured on v5e at bench scale (100.7M corners,
-    ``scripts/bench_hash_primitives6.py``): XLA's sort-based scatter-add
+    ``scripts/bench_hash.py primitives``): XLA's sort-based scatter-add
     is LINEAR at ~6 ns/corner, and the shared-idx two-feature variadic
     batching only happens for the smaller per-level sorts — 16 x
     [6.3M -> 524k] x2 features = 688 ms vs 1187 ms for the two flat

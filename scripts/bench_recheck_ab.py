@@ -27,8 +27,13 @@ slot — and XLA's static shapes mean variant C still issues the exact
 gather for every slot (``safe | exact`` cannot elide lanes), PLUS the
 (R, G) eroded probe lookups. C can only be >= A; the experiment exists
 to measure the delta and close VERDICT #7 with a number instead of an
-argument. C's masks are asserted identical to A's first (erosion here is
-boundary-conservative, so safe => exact everywhere in the group).
+argument. C's masks are asserted identical to A's first. The geometric
+invariant behind "safe => exact": every sample of a group lies within
+probe_dilation voxels of the group's probe center — which holds only for
+groups fully inside the ray's [t_min, t_max] range, because the t_max
+clamp can move a straddling group's probe center up to s*dt away from
+its first in-range sample; such groups are explicitly marked unsafe
+(advisor round-3 finding).
 """
 
 from __future__ import annotations
@@ -72,7 +77,7 @@ def erode_binary(binary: jnp.ndarray) -> jnp.ndarray:
 def march_boundary_recheck(
     rays_o, rays_d, t_min, t_max, grid, safe_bits, *,
     render_step_size, max_samples_per_ray, slots_per_ray, coarse_stride,
-    probe_dilation, probe_groups,
+    probe_dilation, probe_groups, return_safe=False,
 ):
     """march_rays' grouped path with the re-check scoped to straddling
     groups via the eroded ``safe_bits`` table (same exact semantics)."""
@@ -95,6 +100,12 @@ def march_boundary_recheck(
     xyz_p = rays_o[:, None, :] + t_probe[..., None] * rays_d[:, None, :]
     safe_grid = grid.replace(bits=safe_bits)
     safe_g = safe_grid.query_occ_fast(xyz_p)  # (R, G) exact-table semantics
+    # groups straddling t_max are never safe: the clamp above can move the
+    # probe center up to s*dt (> the erosion radius at this config) away
+    # from the group's first in-range sample, so the within-r-voxels
+    # geometry that justifies "safe => exact" does not hold for them
+    # (advisor round-3 finding)
+    safe_g = safe_g & ((g + 1) * s <= k_in[:, None])
 
     pos, ok, scale = select_slots_grouped(live_g, s, K)
     gidx = pos // s  # (R, K) each slot's probe group
@@ -114,7 +125,10 @@ def march_boundary_recheck(
     xyz = rays_o[:, None, :] + mid[..., None] * rays_d[:, None, :]
     exact = grid.query_occ_fast(xyz)
     masks = ok & (safe_slot | exact)
-    return RaySegments(t_starts=t_starts, t_ends=t_ends, deltas=deltas, masks=masks)
+    seg = RaySegments(t_starts=t_starts, t_ends=t_ends, deltas=deltas, masks=masks)
+    if return_safe:
+        return seg, ok & safe_slot
+    return seg
 
 
 def main():
@@ -158,9 +172,16 @@ def main():
     segC = fC(rays_o, rays_d, t_min, t_max)
     same = bool(jnp.all(segA.masks == segC.masks))
     nA = int(jnp.sum(segA.masks))
-    n_safe_frac = None
     print(f"masks identical A==C: {same} (live slots: {nA})")
     assert same, "boundary-scoped re-check changed the sample set"
+    # diagnostic: the fraction of live slots the eroded safe bit accepts
+    # without the exact gather — the headroom variant C is playing for
+    _, safe_slots = march_boundary_recheck(
+        rays_o, rays_d, t_min, t_max, grid, safe_bits, return_safe=True,
+        **cfg,
+    )
+    safe_fr = float(jnp.sum(safe_slots & segC.masks)) / max(nA, 1)
+    print(f"safe-group slot fraction (of live slots): {safe_fr:.3f}")
 
     results = {}
     for name, f in [("A_exact_recheck", fA), ("B_no_recheck", fB),

@@ -5,7 +5,10 @@ the CPU sweep scripts), extracts the one-line JSON of bench runs and the
 PSNR / train-time lines of quality runs, and writes QUALITY_r3.json plus
 a markdown summary to stdout.
 
-    python scripts/collect_round2.py [--write]
+    python scripts/collect_round3.py [--write]
+
+--write only emits entries whose .ok completion marker exists (done runs);
+partial logs still show in the stdout table with their status.
 """
 
 from __future__ import annotations
@@ -80,7 +83,7 @@ def main() -> int:
                  "model", "grid", "quant_int8", "visible_budget_ratio",
                  "rays_per_s", "done")}
             for n, r in results.items()
-            if r["status"] == "ok"
+            if r["status"] == "ok" and r["done"]
         }
         (REPO / "QUALITY_r3.json").write_text(
             json.dumps(quality, indent=1) + "\n"
