@@ -271,6 +271,48 @@ def main():
         cone_angle = 0.004 if args.cone_angle is None else args.cone_angle
         grid_res = args.grid_resolution or 256
         scene_aabb = None
+        # the reference's unbounded marcher has NO per-ray sample cap
+        # (ray_marching.cu:139-161 marches until t_max); our static
+        # lattice must be SIZED to cover [near, far] or the far field is
+        # unreachable and training collapses to a per-view fake
+        # (measured: 5-16 PSNR starved vs 42.5 infra ceiling covered —
+        # scripts/diag_360.py, docs/benchmarks.md round-4)
+        from nerfacc_tpu import samples_needed_for_range
+
+        S_need = samples_needed_for_range(
+            near_plane, far_plane, render_step_size, cone_angle
+        )
+        C = max(args.coarse_stride, 1)
+        if args.max_samples_per_ray < S_need:
+            if S_need <= 8192:
+                new_s = -(-(S_need + C) // C) * C  # jitter margin, % C == 0
+                print(
+                    f"[unbounded] max_samples_per_ray {args.max_samples_per_ray} "
+                    f"cannot cover [near={near_plane}, far={far_plane}] at "
+                    f"step={render_step_size}, cone={cone_angle} "
+                    f"(needs {S_need}); auto-raising to {new_s}"
+                )
+                args.max_samples_per_ray = new_s
+            else:
+                print(
+                    f"WARNING: [unbounded] lattice needs {S_need} samples to "
+                    f"cover [near={near_plane}, far={far_plane}] at "
+                    f"step={render_step_size}, cone={cone_angle} — beyond the "
+                    "8192 auto-cap. The far field is UNSAMPLABLE and training "
+                    "will collapse (measured 5-16 PSNR; scripts/diag_360.py). "
+                    + ("Set --cone_angle > 0: cone stepping is what makes "
+                       "unbounded ranges coverable (reference default 0.004)."
+                       if cone_angle <= 0 else
+                       "Raise --max_samples_per_ray or --render_step_size.")
+                )
+        if args.probe_groups and args.probe_groups * C < args.max_samples_per_ray:
+            new_g = -(-args.max_samples_per_ray // C)
+            print(
+                f"[unbounded] probe_groups {args.probe_groups} x stride {C} "
+                f"truncates the {args.max_samples_per_ray}-sample lattice; "
+                f"raising probe_groups to {new_g}"
+            )
+            args.probe_groups = new_g
     else:
         # bounded: step = diag * sqrt(3) / 1024 (train_ngp_nerf.py:149-153)
         contraction = ContractionType.AABB

@@ -35,6 +35,7 @@ from .ray_marching import (
     march_rays,
     probe_live_groups,
     ray_marching,
+    samples_needed_for_range,
     select_slots,
     select_slots_grouped,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "select_slots",
     "select_slots_grouped",
     "probe_live_groups",
+    "samples_needed_for_range",
     "gather_rows_dense",
     "accumulate_along_rays_dense",
     "render_visibility_dense",

@@ -89,6 +89,47 @@ class RaySegments(NamedTuple):
         ).reshape(-1)
 
 
+def samples_needed_for_range(
+    t_min: float,
+    t_max: float,
+    render_step_size: float,
+    cone_angle: float = 0.0,
+    dt_max: float = MAX_DIST,
+) -> int:
+    """Lattice points needed to cover ``[t_min, t_max]`` — the closed-form
+    count of the reference's unbounded per-ray marching loop
+    (``ray_marching.cu:139-161``: ``t += clamp(t * cone, dt, dt_max)``
+    until ``t >= t_max``, with NO sample cap).
+
+    Config-sizing helper: a ``max_samples_per_ray`` below this value
+    TRUNCATES every ray's far range — on unbounded scenes the far field
+    then cannot be sampled at all, which trains to a catastrophic
+    per-view-inconsistent fake (measured: the 360 benchmark collapses to
+    5-16 PSNR when starved at S=1024 vs 42.5 infra ceiling covered;
+    ``scripts/diag_360.py``). With ``cone_angle == 0`` the count is
+    ``(t_max - t_min) / step`` — astronomically large for real unbounded
+    far planes, which is *why* cone stepping exists.
+    """
+    if t_max <= t_min:
+        return 0
+    if cone_angle <= 0.0:
+        return int(math.ceil((t_max - t_min) / render_step_size))
+    c, dmin, dmax = cone_angle, render_step_size, dt_max
+    # phase A: linear dmin steps until t * c >= dmin
+    n_a = math.ceil(max(dmin / c - t_min, 0.0) / dmin)
+    t_a = t_min + n_a * dmin
+    if t_a >= t_max:
+        return int(math.ceil((t_max - t_min) / dmin))
+    # phase B: geometric growth by (1 + c) until t * c >= dmax
+    t_b_end = min(t_max, dmax / c)
+    n_b = math.ceil(math.log(t_b_end / t_a) / math.log1p(c))
+    if t_max <= dmax / c:
+        return int(n_a + n_b)
+    # phase C: linear dmax steps
+    t_b = t_a * (1.0 + c) ** n_b
+    return int(n_a + n_b + math.ceil((t_max - t_b) / dmax))
+
+
 class PackedSamples(NamedTuple):
     """Flat fixed-capacity packed samples (reference layout:
     ``(ray_indices, t_starts, t_ends)`` + validity ``masks``)."""

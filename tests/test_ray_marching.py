@@ -73,6 +73,34 @@ def test_grid_skipping_reduces_samples():
     assert int(m_part.sum()) < int(m_full.sum())
 
 
+def test_samples_needed_for_range_matches_serial_recurrence():
+    """The closed-form config-sizing count equals the reference's serial
+    marching loop count (``ray_marching.cu:139-161``: ``t += clamp(t *
+    cone, dt, dt_max)`` until ``t >= t_max``) to within one step, across
+    phases A/B/C and the degenerate cases."""
+    from nerfacc_tpu import samples_needed_for_range
+
+    def serial(t_min, t_max, dt, cone, dt_max=1e10):
+        t, n = t_min, 0
+        while t < t_max and n < 10**7:
+            t += min(max(t * cone, dt), dt_max)
+            n += 1
+        return n
+
+    cases = [
+        (0.2, 1e4, 1e-2, 0.004, 1e10),   # the unbounded-360 config
+        (0.2, 1e4, 1e-2, 0.004, 5.0),    # dt_max-capped phase C
+        (0.2, 6.0, 1e-2, 0.0, 1e10),     # bounded, no cone
+        (0.5, 0.4, 1e-2, 0.004, 1e10),   # empty range
+        (2.0, 300.0, 1e-2, 0.05, 1e10),  # t_min already in phase B
+        (0.2, 1.0, 1e-2, 0.004, 1e10),   # ends inside phase A
+    ]
+    for t_min, t_max, dt, cone, dtm in cases:
+        got = samples_needed_for_range(t_min, t_max, dt, cone, dtm)
+        want = serial(t_min, t_max, dt, cone, dtm)
+        assert abs(got - want) <= 1, (t_min, t_max, dt, cone, dtm, got, want)
+
+
 def test_cone_angle_step_growth():
     """With cone_angle > 0 step sizes grow as clamp(t*cone, dt_min, dt_max)."""
     rays_o = jnp.zeros((1, 3))
