@@ -198,6 +198,21 @@ def main():
         "(gather-bound encoder), off for tensorf (MXU-cheap field)",
     )
     p.add_argument(
+        "--distortion_warmup", type=int, default=0,
+        help="ramp the distortion weight in linearly over "
+        "[warmup, 2*warmup] steps (0 = on from step 0, the measured "
+        "default: on the 360 recipe EVERY warmup variant collapsed "
+        "(12.8-13.3 vs 35.1 from-step-0) — early distortion prevents "
+        "the floater basin from forming; delayed distortion cannot "
+        "dismantle it. Kept for experimentation)",
+    )
+    p.add_argument(
+        "--eval_on_train_views", action="store_true",
+        help="diagnostic: score the eval render on TRAIN views (a model "
+        "with low train loss must score high here unless the eval path "
+        "diverges from the train-time render)",
+    )
+    p.add_argument(
         "--fused_march", action="store_true",
         help="use the fused Pallas march-select kernels instead of the "
         "default XLA op-chain selection (bit-identical sample sets by "
@@ -376,7 +391,9 @@ def main():
     has_bkgd = render_bkgd is not None
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key):
+    def train_step(
+        params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key, dist_w
+    ):
         def loss_fn(p):
             colors, opacities, _, n, extras = render_rays(
                 p, field, rays_o, rays_d, grid=grid,
@@ -390,12 +407,27 @@ def main():
             if args.distortion_loss > 0:
                 from nerfacc_tpu import loss_distortion_dense
 
+                ts0 = extras["t_starts"]
+                ts1 = extras["t_starts"] + extras["deltas"]
+                if args.unbounded:
+                    # normalized disparity coordinates (MipNeRF-360
+                    # Eq. 15 uses normalized ray distance): raw-t
+                    # distortion at far-plane scale dominates the
+                    # photometric loss (train_proposal_nerf.py, same
+                    # rationale)
+                    inv_n = 1.0 / near_plane
+                    inv_f = 1.0 / far_plane
+
+                    def to_s(t):
+                        return (inv_n - 1.0 / jnp.maximum(t, 1e-6)) / (
+                            inv_n - inv_f
+                        )
+
+                    ts0, ts1 = to_s(ts0), to_s(ts1)
                 dist = loss_distortion_dense(
-                    extras["weights"], extras["t_starts"],
-                    extras["t_starts"] + extras["deltas"],
-                    masks=extras["masks"],
+                    extras["weights"], ts0, ts1, masks=extras["masks"]
                 )
-                loss = loss + args.distortion_loss * dist.mean()
+                loss = loss + dist_w * dist.mean()
             return loss, n
 
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -469,10 +501,19 @@ def main():
         if step % 16 == 0:
             grid = grid_update(params, grid, k_grid, step < 256)
         rays, pixels = scene.sample_batch(num_rays)
+        # distortion warmup — measured HARMFUL on the 360 recipe (every
+        # warmup variant collapsed; from-step-0 3e-2 works: early
+        # distortion prevents the floater basin from forming, delayed
+        # distortion cannot dismantle it). Default 0 = no warmup.
+        w = args.distortion_warmup
+        dw = args.distortion_loss * (
+            min(1.0, max(0.0, (step - w) / max(w, 1))) if w > 0 else 1.0
+        )
         params, opt_state, loss, n = train_step(
             params, opt_state, grid,
             rays.origins, rays.viewdirs, pixels,
             scene.bkgd if has_bkgd else jnp.zeros(3), k_render,
+            jnp.float32(dw),
         )
         if bucketer is not None:
             num_rays = bucketer.update(int(n), num_rays)
@@ -492,8 +533,16 @@ def main():
             )
 
     psnrs = []
-    for i in range(min(args.eval_views, scene.test_poses.shape[0])):
-        rays = scene.rays_for_view(scene.test_poses[i])
+    eval_poses, eval_images = scene.test_poses, scene.test_images
+    if args.eval_on_train_views:
+        # diagnostic: render TRAIN views through the eval path. A model
+        # that fits its training pixels (low train loss) must score high
+        # here unless the eval render path diverges from the train
+        # render on the same rays — separates overfitting/floaters from
+        # a train/eval render mismatch.
+        eval_poses, eval_images = scene.train_poses, scene.images
+    for i in range(min(args.eval_views, eval_poses.shape[0])):
+        rays = scene.rays_for_view(eval_poses[i])
         eval_kwargs = dict(render_kwargs, coarse_stride=1)
         colors, _, _ = render_image(
             params, field, rays.origins, rays.viewdirs,
@@ -501,7 +550,7 @@ def main():
             test_chunk_size=args.test_chunk_size,
             eval_visible_samples_per_ray=64, **eval_kwargs,
         )
-        gt = scene.test_images[i].reshape(-1, 3)
+        gt = eval_images[i].reshape(-1, 3)
         mse = float(jnp.mean((colors - gt) ** 2))
         psnrs.append(-10.0 * np.log10(mse))
     train_time = time.perf_counter() - t_start
