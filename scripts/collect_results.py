@@ -1,14 +1,14 @@
-"""Collect round-3 measurement logs into a summary.
+"""Collect on-chip measurement logs into a summary.
 
-Reads .bench_logs/*.log (written by scripts/run_round3_until_done.sh and
-the CPU sweep scripts), extracts the one-line JSON of bench runs and the
-PSNR / train-time lines of quality runs, and writes QUALITY_r3.json plus
-a markdown summary to stdout.
+Reads .bench_logs/*.log (written by the scripts/run_round*_until_done.sh
+drivers and ad-hoc sweeps), extracts the one-line JSON of bench runs and
+the PSNR / train-time lines of quality runs, and writes a QUALITY json
+plus a markdown summary to stdout.
 
-    python scripts/collect_round3.py [--write]
+    python scripts/collect_results.py [--write QUALITY_r4.json] [--prefix r4_]
 
---write only emits entries whose .ok completion marker exists (done runs);
-partial logs still show in the stdout table with their status.
+--write only emits entries whose .ok completion marker exists (done
+runs); partial logs still show in the stdout table with their status.
 """
 
 from __future__ import annotations
@@ -49,8 +49,13 @@ def parse_log(path: Path) -> dict | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--write", action="store_true",
-        help="write QUALITY_r3.json at the repo root",
+        "--write", default=None, metavar="FILE",
+        help="write the collected results json (e.g. QUALITY_r4.json) "
+        "at the repo root",
+    )
+    ap.add_argument(
+        "--prefix", default="",
+        help="only collect logs whose name starts with this prefix",
     )
     args = ap.parse_args()
     if not LOGS.is_dir():
@@ -59,6 +64,8 @@ def main() -> int:
     results = {}
     for log in sorted(LOGS.glob("*.log")):
         name = log.stem
+        if args.prefix and not name.startswith(args.prefix):
+            continue
         parsed = parse_log(log)
         parsed["done"] = (LOGS / f"{name}.ok").exists()
         results[name] = parsed
@@ -81,14 +88,15 @@ def main() -> int:
             n: {k: v for k, v in r.items() if k in
                 ("psnr", "train_time_s", "value", "unit", "vs_baseline",
                  "model", "grid", "quant_int8", "visible_budget_ratio",
-                 "rays_per_s", "done")}
+                 "field_budget_ratio", "fused_march", "rays_per_s",
+                 "done")}
             for n, r in results.items()
             if r["status"] == "ok" and r["done"]
         }
-        (REPO / "QUALITY_r3.json").write_text(
+        (REPO / args.write).write_text(
             json.dumps(quality, indent=1) + "\n"
         )
-        print(f"\nwrote QUALITY_r3.json ({len(quality)} entries)")
+        print(f"\nwrote {args.write} ({len(quality)} entries)")
     return 0
 
 
