@@ -401,9 +401,23 @@ def main():
                 stratified=True, key=key,
                 return_extras=True, **render_kwargs,
             )
-            alive = (opacities[:, 0] > 0).astype(jnp.float32)
             per_ray = huber(colors, pixels).mean(-1)
-            loss = (per_ray * alive).sum() / jnp.maximum(alive.sum(), 1.0)
+            if has_bkgd:
+                # bounded scenes composite non-hit rays onto the known
+                # background exactly; excluding them from the loss skips
+                # useless gradient (reference train_ngp_nerf.py:199-202)
+                alive = (opacities[:, 0] > 0).astype(jnp.float32)
+                loss = (per_ray * alive).sum() / jnp.maximum(
+                    alive.sum(), 1.0
+                )
+            else:
+                # bkgd=None (unbounded: the model owns the far field): a
+                # dead ray renders black, NOT the GT — masking it out of
+                # the loss locks in density collapse (measured: the
+                # distortion-loss death spiral where rays that fall
+                # under alpha_thre exit the loss and never recover).
+                # Every ray stays in the photometric loss.
+                loss = per_ray.mean()
             if args.distortion_loss > 0:
                 from nerfacc_tpu import loss_distortion_dense
 

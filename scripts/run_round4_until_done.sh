@@ -59,7 +59,7 @@ TQ=(examples/train_ngp_nerf.py --model tensorf --num_rays 8192
 # s-space distortion (see docs/benchmarks.md round-4 360 section)
 U360=(examples/train_ngp_nerf.py --model tensorf
     --scene procedural360 --unbounded --max_steps 2000 --num_rays 4096
-    --image_size 96 --grid_resolution 128 --samples_budget 524288
+    --image_size 96 --grid_resolution 256 --samples_budget 524288
     --visible_samples_budget 262144 --test_chunk_size 2048 --eval_views 3
     --train_views 64 --coarse_stride 16 --probe_groups 32
     --fixed_occ_thre 0 --occ_cone_coupling 0 --distortion_loss 0.03)
@@ -93,7 +93,8 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run r4_gate_fused_s44 python "${TQ[@]}" --fused_march --seed 44
 
   # --- 360 recipe at longer training (the round-4 fix validated) ---
-  run r4_360_5k python "${U360[@]}" --max_steps 5000
+  run r4_360_5k     python "${U360[@]}" --max_steps 5000
+  run r4_360_5k_s43 python "${U360[@]}" --max_steps 5000 --seed 43
 
   # --- hash quality gate with compaction on ---
   run r4_q_ngp1k python "${NGPQ[@]}"
