@@ -85,6 +85,8 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   # --- throughput regression checks + hash path w/ compaction ---
   run r4_bench_flagship python bench.py
   run r4_bench_ngp      python bench.py --model ngp
+  [ -f bench_assets/trained_grid.npz ] && \
+    run r4_bench_ngp_trained python bench.py --model ngp --grid trained
   run r4_bench_eval     python bench.py --mode eval
 
   # --- VERDICT #5: fused-march gate A/B, 3 seeds (flag exists now) ---
@@ -96,8 +98,10 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run r4_360_5k     python "${U360[@]}" --max_steps 5000
   run r4_360_5k_s43 python "${U360[@]}" --max_steps 5000 --seed 43
 
-  # --- hash quality gate with compaction on ---
+  # --- hash quality gates with compaction on (1k always; 2k restores
+  # the advisor-flagged deeper gate when the pass has time left) ---
   run r4_q_ngp1k python "${NGPQ[@]}"
+  run r4_q_ngp2k python "${NGPQ[@]}" --max_steps 2000
 
   n_ok=0; n_skip=0
   for s in "${STEPS[@]}"; do
