@@ -103,6 +103,21 @@ def main():
         "(parse with scripts/xplane.py for the per-op step anatomy)",
     )
     ap.add_argument(
+        "--ngp_gather_mode", type=str, default="packed",
+        choices=["packed", "per_level"],
+        help="with --model ngp: forward gather formulation (per_level = "
+        "round-5 experiment, L gathers over 2MB per-level operands)",
+    )
+    ap.add_argument(
+        "--ngp_log2_size", type=int, default=19,
+        help="with --model ngp: log2 hash-table size per level (the L/T "
+        "quality-throughput frontier; reference uses 19)",
+    )
+    ap.add_argument(
+        "--ngp_levels", type=int, default=16,
+        help="with --model ngp: number of hash levels (reference: 16)",
+    )
+    ap.add_argument(
         "--ngp_pallas_grad", action="store_true",
         help="with --model ngp: use the round-2 serial Pallas VMEM "
         "scatter for the hash-table gradient instead of XLA's fused "
@@ -127,6 +142,9 @@ def main():
         field = NGPRadianceField(
             aabb=tuple(float(v) for v in np.asarray(aabb)),
             pallas_grad=args.ngp_pallas_grad,
+            gather_mode=args.ngp_gather_mode,
+            log2_hashmap_size=args.ngp_log2_size,
+            n_levels=args.ngp_levels,
         )
         iters = args.iters or (3 if args.ngp_pallas_grad else 20)
     params = field.init(

@@ -213,6 +213,32 @@ def main():
         "diverges from the train-time render)",
     )
     p.add_argument(
+        "--opacity_entropy", type=float, default=0.0,
+        help="weight of a binary-entropy regularizer on per-ray opacity "
+        "(-o log o - (1-o) log(1-o)): pushes rays to fully-opaque or "
+        "fully-transparent, suppressing the per-view fog/floater basin "
+        "of the unbounded grid recipe (round-5 robustness probe)",
+    )
+    p.add_argument(
+        "--occ_ema_decay", type=float, default=0.95,
+        help="occupancy-grid EMA decay (reference grid.py:232 uses "
+        "0.95). Lower values forget the fog phase faster (round-5 "
+        "robustness probe)",
+    )
+    p.add_argument(
+        "--ngp_gather_mode", type=str, default="packed",
+        choices=["packed", "per_level"],
+        help="--model ngp: forward gather formulation (see bench.py)",
+    )
+    p.add_argument(
+        "--ngp_log2_size", type=int, default=19,
+        help="--model ngp: log2 hash-table size per level (L/T frontier)",
+    )
+    p.add_argument(
+        "--ngp_levels", type=int, default=16,
+        help="--model ngp: number of hash levels",
+    )
+    p.add_argument(
         "--fused_march", action="store_true",
         help="use the fused Pallas march-select kernels instead of the "
         "default XLA op-chain selection (bit-identical sample sets by "
@@ -318,7 +344,9 @@ def main():
                     + ("Set --cone_angle > 0: cone stepping is what makes "
                        "unbounded ranges coverable (reference default 0.004)."
                        if cone_angle <= 0 else
-                       "Raise --max_samples_per_ray or --render_step_size.")
+                       "Raise --max_samples_per_ray, or shrink the range "
+                       "with --near_plane/--far_plane (the unbounded base "
+                       "step is fixed at 1e-2, the reference's).")
                 )
         if args.probe_groups and args.probe_groups * C < args.max_samples_per_ray:
             new_g = -(-args.max_samples_per_ray // C)
@@ -349,7 +377,12 @@ def main():
             quant_int8=args.quant_int8,
         )
     else:
-        field = NGPRadianceField(aabb=aabb, unbounded=args.unbounded)
+        field = NGPRadianceField(
+            aabb=aabb, unbounded=args.unbounded,
+            gather_mode=args.ngp_gather_mode,
+            log2_hashmap_size=args.ngp_log2_size,
+            n_levels=args.ngp_levels,
+        )
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     params = field.init(k_init, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -442,12 +475,18 @@ def main():
                     extras["weights"], ts0, ts1, masks=extras["masks"]
                 )
                 loss = loss + dist_w * dist.mean()
-            return loss, n
+            if args.opacity_entropy > 0:
+                o = jnp.clip(opacities[:, 0], 1e-5, 1.0 - 1e-5)
+                ent = -(o * jnp.log(o) + (1.0 - o) * jnp.log(1.0 - o))
+                loss = loss + args.opacity_entropy * ent.mean()
+            return loss, (n, extras["field_budget_dropped"])
 
-        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (n, dropped)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, n
+        return params, opt_state, loss, n, dropped
 
     cam_origins = jnp.asarray(np.asarray(scene.train_poses)[:, :3, -1])
 
@@ -478,6 +517,7 @@ def main():
         return update_grid(
             grid, key, step=0 if warmup else 10**9,
             occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
+            ema_decay=args.occ_ema_decay,
             adaptive_thre=not args.fixed_occ_thre,
         )
 
@@ -523,12 +563,18 @@ def main():
         dw = args.distortion_loss * (
             min(1.0, max(0.0, (step - w) / max(w, 1))) if w > 0 else 1.0
         )
-        params, opt_state, loss, n = train_step(
+        params, opt_state, loss, n, dropped = train_step(
             params, opt_state, grid,
             rays.origins, rays.viewdirs, pixels,
             scene.bkgd if has_bkgd else jnp.zeros(3), k_render,
             jnp.float32(dw),
         )
+        if step == 0 and int(dropped) > 0:
+            print(
+                f"WARNING: field_samples_budget trims {int(dropped)} live "
+                "samples on step 0 (drops spread proportionally across "
+                "rays); raise --field_budget_ratio to cover the live count"
+            )
         if bucketer is not None:
             num_rays = bucketer.update(int(n), num_rays)
         if ckpt is not None and (
@@ -544,6 +590,7 @@ def main():
             print(
                 f"step={step} loss={float(loss):.5f} "
                 f"n_samples={int(n)} elapsed={el:.1f}s"
+                + (f" budget_dropped={int(dropped)}" if int(dropped) else "")
             )
 
     psnrs = []
@@ -555,6 +602,11 @@ def main():
         # render on the same rays — separates overfitting/floaters from
         # a train/eval render mismatch.
         eval_poses, eval_images = scene.train_poses, scene.images
+        if eval_images.shape[-1] == 4:
+            # blender loaders keep train images RGBA; composite onto the
+            # eval background (white) so the GT matches the eval render
+            rgb, a = eval_images[..., :3], eval_images[..., 3:]
+            eval_images = rgb * a + (1.0 - a)
     for i in range(min(args.eval_views, eval_poses.shape[0])):
         rays = scene.rays_for_view(eval_poses[i])
         eval_kwargs = dict(render_kwargs, coarse_stride=1)

@@ -57,10 +57,38 @@ def ray_resampling(
     Returns:
         :class:`ResampledRays`; rays with zero input samples are masked out.
     """
+    from .vol_rendering import _detect_dense_layout
+
     w, _ = _flatten(weights)
     ts, _ = _flatten(t_starts)
     te, _ = _flatten(t_ends)
     N = w.shape[0]
+    dl = _detect_dense_layout(ray_indices, packed_info, N, n_rays)
+    if dl is not None:
+        # dense bridge: ray-major fixed-K layout -> row-op twin (the flat
+        # global-searchsorted path is ~200x slower on TPU; same
+        # semantics, docs/benchmarks.md op microbench)
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        s2, e2, mk2 = ray_resampling_dense(
+            ts.reshape(R, K), te.reshape(R, K), w.reshape(R, K),
+            n_samples, masks=m2,
+        )
+        alive = mk2[:, 0]
+        out_info = jnp.stack(
+            [
+                jnp.arange(R, dtype=jnp.int32) * n_samples,
+                jnp.where(alive, n_samples, 0).astype(jnp.int32),
+            ],
+            axis=-1,
+        )
+        return ResampledRays(
+            out_info,
+            s2.reshape(-1, 1),
+            e2.reshape(-1, 1),
+            mk2.reshape(-1),
+            jnp.repeat(jnp.arange(R, dtype=jnp.int32), n_samples),
+        )
     if ray_indices is None:
         assert packed_info is not None
         ray_indices = unpack_info(packed_info, N)

@@ -31,34 +31,68 @@ from .procedural import render_gt, render_gt_dynamic, render_gt_env
 from .rays import generate_rays, look_at_poses
 
 
-def _rgba_views(poses, K, height, width, times=None):
+def _rgba_views(poses, K, height, width, times=None, chunk=65536):
     """Render straight-alpha RGBA views of the analytic field.
 
     Foreground color and opacity are recovered from two composites
     (black and white backgrounds) of the exact volumetric render:
     ``alpha = 1 - (c_white - c_black)`` and ``fg = c_black / alpha``.
+
+    Rays are rendered in fixed-size jitted chunks so full-protocol
+    resolutions (800x800 = 640k rays x 512 samples) fit in HBM — one
+    view in one shot is a ~4 GB positions intermediate.
     """
+    import jax
+
     h, w = height, width
     y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+
+    if times is None:
+        @jax.jit
+        def _chunk_fn(o, d):
+            return (
+                render_gt(o, d, jnp.zeros(3)),
+                render_gt(o, d, jnp.ones(3)),
+            )
+    else:
+        @jax.jit
+        def _chunk_fn_t(o, d, t):
+            return (
+                render_gt_dynamic(o, d, jnp.zeros(3), t),
+                render_gt_dynamic(o, d, jnp.ones(3), t),
+            )
+
+    def _render_view(origins, viewdirs, t_val):
+        n = origins.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            origins = jnp.concatenate([origins, origins[:pad]])
+            viewdirs = jnp.concatenate([viewdirs, viewdirs[:pad]])
+        cb, cw = [], []
+        for s in range(0, origins.shape[0], chunk):
+            o, d = origins[s:s + chunk], viewdirs[s:s + chunk]
+            if times is None:
+                b_, w_ = _chunk_fn(o, d)
+            else:
+                t = jnp.full((chunk, 1), t_val, jnp.float32)
+                b_, w_ = _chunk_fn_t(o, d, t)
+            cb.append(np.asarray(b_))
+            cw.append(np.asarray(w_))
+        return (
+            np.concatenate(cb)[:n],
+            np.concatenate(cw)[:n],
+        )
+
     out = []
     for i in range(poses.shape[0]):
         rays = generate_rays(
             jnp.asarray(x.reshape(-1)), jnp.asarray(y.reshape(-1)),
             poses[i], K,
         )
-        if times is None:
-            c_black = render_gt(rays.origins, rays.viewdirs, jnp.zeros(3))
-            c_white = render_gt(rays.origins, rays.viewdirs, jnp.ones(3))
-        else:
-            t = jnp.full((rays.origins.shape[0], 1), times[i], jnp.float32)
-            c_black = render_gt_dynamic(
-                rays.origins, rays.viewdirs, jnp.zeros(3), t
-            )
-            c_white = render_gt_dynamic(
-                rays.origins, rays.viewdirs, jnp.ones(3), t
-            )
-        c_black = np.asarray(c_black)
-        c_white = np.asarray(c_white)
+        c_black, c_white = _render_view(
+            rays.origins, rays.viewdirs,
+            None if times is None else times[i],
+        )
         alpha = np.clip(1.0 - (c_white - c_black).mean(-1, keepdims=True),
                         0.0, 1.0)
         fg = np.where(alpha > 1e-4, c_black / np.maximum(alpha, 1e-4), 0.0)

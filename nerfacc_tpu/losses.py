@@ -47,9 +47,18 @@ def distortion(
     Returns:
         (n_rays,) loss values.
     """
+    from .vol_rendering import _detect_dense_layout
+
     w, _ = _flatten(weights)
     ts, _ = _flatten(t_starts)
     te, _ = _flatten(t_ends)
+    dl = _detect_dense_layout(ray_indices, packed_info, w.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        return distortion_dense(
+            w.reshape(R, K), ts.reshape(R, K), te.reshape(R, K), masks=m2
+        )
     if ray_indices is None:
         assert packed_info is not None
         ray_indices = unpack_info(packed_info, w.shape[0])

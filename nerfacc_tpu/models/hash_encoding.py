@@ -58,6 +58,10 @@ class HashEncoder(nn.Module):
     per_level_scale: float = 1.4472692012786865
     param_dtype: jnp.dtype = jnp.float32
     pallas_grad: bool = False  # opt-in serial Pallas scatter (see module doc)
+    # "packed" = one full-table u32 gather (round-3 default);
+    # "per_level" = L gathers over (T,) slices (round-5 experiment: the
+    # per-level-operand gather rate measured ~2.7x the full-table rate)
+    gather_mode: str = "packed"
 
     def setup(self):
         T = 1 << self.log2_hashmap_size
@@ -152,6 +156,7 @@ class HashEncoder(nn.Module):
             return hash_encode_lookup(
                 self.table.astype(jnp.float32), flat_idx, cw, T,
                 self.pallas_grad,
+                "per_level" if self.gather_mode == "per_level" else True,
             )
         # generic-F fallback: per-feature 1-D gathers + the same MXU
         # corner-sum, concatenated feature-major to (N, F*L)

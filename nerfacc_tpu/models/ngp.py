@@ -108,12 +108,14 @@ class NGPRadianceField(nn.Module):
     n_levels: int = 16
     log2_hashmap_size: int = 19
     pallas_grad: bool = False  # opt-in serial Pallas scatter
+    gather_mode: str = "packed"  # "per_level" = round-5 forward variant
 
     def setup(self):
         self.encoder = HashEncoder(
             n_levels=self.n_levels,
             log2_hashmap_size=self.log2_hashmap_size,
             pallas_grad=self.pallas_grad,
+            gather_mode=self.gather_mode,
         )
         self.mlp_base = _SmallMLP(1 + self.geo_feat_dim, n_hidden=1)
         self.mlp_head = _SmallMLP(3, n_hidden=2)

@@ -273,7 +273,30 @@ def _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather=True):
     L = L8 // 8
     LT = table.shape[0] // 2
     S = _corner_sum_matrix(L)
-    if packed_gather:
+    if packed_gather == "per_level":
+        # Round-5 experiment (VERDICT #1): the full-table u32 gather
+        # measures ~8.7 ns/idx while PER-LEVEL-operand gathers measured
+        # ~3.2 ns/idx (scripts/bench_hash.py primitives) — route the
+        # forward through L gathers over (T,) slices, reusing the
+        # backward's (L, 8N) transpose-reshape layout (major-dim slices,
+        # no lane-padded intermediates). The two relayout transposes are
+        # HBM-linear (~1 ms at bench scale) vs the hundreds of ms the
+        # gather-rate delta is worth if it holds at stream scale.
+        T = LT // L
+        packed = _pack_table_u32(table.astype(jnp.float32))  # (L*T,) u32
+        flat_idx, corner_w, packed = jax.lax.optimization_barrier(
+            (flat_idx, corner_w, packed)
+        )
+        idx_l = flat_idx.T.reshape(L, 8 * N)
+        off = jnp.arange(L, dtype=jnp.int32)[:, None] * jnp.int32(T)
+        idx_l = idx_l - off  # [0, T) per level
+        g_l = [
+            jax.lax.dynamic_slice_in_dim(packed, level * T, T)[idx_l[level]]
+            for level in range(L)
+        ]
+        g = jnp.stack(g_l).reshape(L * 8, N).T  # (N, L*8)
+        f0, f1 = _unpack_u32(g)
+    elif packed_gather:
         packed = _pack_table_u32(table.astype(jnp.float32))  # (L*T,) u32
         # fusion firewall: keep the (heavy, fused) index computation out
         # of the gather op so the gather keeps its native lowering and

@@ -48,12 +48,21 @@ def compact_live_slots(masks: jnp.ndarray, m_budget: int):
     compact positions (flat row-major order, i.e. front-to-back within
     each ray, rays in batch order).
 
+    Over-budget behavior (budget below the scene's live count — a sizing
+    error, but one that must degrade gracefully): each ray keeps a
+    front-to-back PREFIX under a proportional per-ray quota
+    ``max(1, floor(c_r * M / count))`` rather than the batch keeping a
+    flat prefix — a flat prefix would silently zero every sample of the
+    LAST rays of the batch (round-4 advisor finding). Every ray with any
+    live sample keeps at least one; the far tail is what gets trimmed
+    (far samples are the most likely occluded anyway). A global
+    ``rank < M`` backstop guarantees the compact buffer never overflows
+    even with the +1-per-ray floor. Callers must AND ``keep`` back into
+    their masks and should surface ``dropped`` as a diagnostic.
+
     Args:
         masks: (R, K) bool dense slot liveness.
-        m_budget: static compact capacity M. Live slots beyond M (a
-            sizing error — budget below the scene's live count) are
-            dropped; callers must AND ``keep`` back into their masks so
-            the composite and sample counts stay consistent.
+        m_budget: static compact capacity M.
 
     Returns:
         pos: (M,) int32 flat slot index of each compact entry (0 for
@@ -62,13 +71,32 @@ def compact_live_slots(masks: jnp.ndarray, m_budget: int):
         rank: (R * K,) int32 compact position of each flat slot
             (valid where ``keep``).
         keep: (R, K) bool = masks minus any over-budget drops.
+        dropped: () int32 number of live slots dropped (0 when the
+            budget covers the live count).
     """
-    flat = masks.reshape(-1)
-    n = flat.shape[0]
+    n = masks.size
+    mi = masks.astype(jnp.int32)
+    row_inc = jnp.cumsum(mi, axis=1)  # within-ray 1-based live rank
+    c_r = row_inc[:, -1]  # per-ray live counts
+    count = c_r.sum()
+    # proportional quota in f32 (c_r * M overflows int32 at bench
+    # scale; the f32 product's <=1-ulp round-up is absorbed by the
+    # global rank backstop below)
+    ratio = m_budget / jnp.maximum(count, 1).astype(jnp.float32)
+    quota = jnp.where(
+        count > m_budget,
+        jnp.maximum(
+            jnp.floor(c_r.astype(jnp.float32) * ratio).astype(jnp.int32),
+            jnp.minimum(c_r, 1),
+        ),
+        c_r,
+    )
+    keep2 = masks & (row_inc <= quota[:, None])
+    flat = keep2.reshape(-1)
     inc = jnp.cumsum(flat.astype(jnp.int32))
     rank = inc - 1
-    count = inc[-1]
     keep = flat & (rank < m_budget)
+    kept = jnp.minimum(inc[-1], m_budget)
     # destinations are unique and sorted; out-of-range (dropped/dead)
     # entries fall off via mode="drop"
     dest = jnp.where(keep, rank, m_budget)
@@ -77,10 +105,8 @@ def compact_live_slots(masks: jnp.ndarray, m_budget: int):
         .at[dest]
         .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     )
-    ok = jnp.arange(m_budget, dtype=jnp.int32) < jnp.minimum(
-        count, m_budget
-    )
-    return pos, ok, rank, keep.reshape(masks.shape)
+    ok = jnp.arange(m_budget, dtype=jnp.int32) < kept
+    return pos, ok, rank, keep.reshape(masks.shape), count - kept
 
 
 def _expand_impl(vals, rank, keep_flat):

@@ -42,6 +42,9 @@ quality-neutral divergence).
 from __future__ import annotations
 
 import math
+import warnings
+
+import numpy as np
 from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -590,6 +593,76 @@ def reselect_visible(
     )
 
 
+_starvation_warned = set()
+
+
+def _warn_if_lattice_starved(
+    scene_aabb,
+    near_plane,
+    far_plane,
+    render_step_size,
+    cone_angle,
+    dt_max,
+    max_samples_per_ray,
+):
+    """Warn (once per config) when the static candidate lattice cannot
+    cover >= 90% of the statically-knowable t-range.
+
+    The reference's CUDA marcher has no per-ray sample cap
+    (``ray_marching.cu:139-161`` marches until ``t_max``); our static
+    lattice is capped at ``max_samples_per_ray``, and an undersized cap
+    silently truncates every ray's far range — measured to collapse
+    unbounded training to 5-16 PSNR (``scripts/diag_360.py``,
+    docs/benchmarks.md "360 collapse"). This check is trace-time-only
+    and uses whatever static range information exists: [near, far] when
+    both are Python scalars, else the aabb diagonal as the worst-case
+    extent for a concrete ``scene_aabb``. Dynamic (traced) ranges are
+    not checkable and are skipped.
+    """
+    t_lo = float(near_plane) if near_plane is not None else 0.0
+    if far_plane is not None:
+        t_hi = float(far_plane)
+    elif scene_aabb is not None:
+        try:
+            aabb = np.asarray(scene_aabb, dtype=np.float64)
+        except Exception:
+            return  # traced aabb: range unknowable at trace time
+        if aabb.size != 6 or not np.isfinite(aabb).all():
+            return
+        diag = float(np.linalg.norm(aabb[3:] - aabb[:3]))
+        t_hi = t_lo + diag
+    else:
+        return  # [0, 1e10] default range: nothing meaningful to check
+    if not (t_hi > t_lo) or t_hi >= MAX_DIST:
+        return
+    key = (
+        round(t_lo, 9), round(t_hi, 9), float(render_step_size),
+        float(cone_angle), float(dt_max), int(max_samples_per_ray),
+    )
+    if key in _starvation_warned:
+        return
+    needed = samples_needed_for_range(
+        t_lo, t_lo + 0.9 * (t_hi - t_lo), render_step_size,
+        cone_angle=cone_angle, dt_max=dt_max,
+    )
+    if max_samples_per_ray < needed:
+        _starvation_warned.add(key)
+        warnings.warn(
+            f"max_samples_per_ray={max_samples_per_ray} covers less than "
+            f"90% of the t-range [{t_lo:g}, {t_hi:g}] at "
+            f"render_step_size={render_step_size:g}, "
+            f"cone_angle={cone_angle:g} (full coverage needs "
+            f"{samples_needed_for_range(t_lo, t_hi, render_step_size, cone_angle=cone_angle, dt_max=dt_max)} "
+            "lattice points). The far range is truncated on every ray; "
+            "unbounded training collapses when starved (measured 5-16 "
+            "PSNR). Raise max_samples_per_ray, set cone_angle > 0, or "
+            "shrink [near_plane, far_plane]. "
+            "(samples_needed_for_range() sizes this in closed form.)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _resolve_t_range(
     rays_o,
     rays_d,
@@ -601,9 +674,21 @@ def _resolve_t_range(
     stratified,
     key,
     render_step_size,
+    *,
+    cone_angle=None,
+    dt_max=MAX_DIST,
+    max_samples_per_ray=None,
 ):
     """Reference t-range priority: explicit > aabb intersect > [0, 1e10],
-    then near/far clamps and stratified jitter (``ray_marching.py:138-158``)."""
+    then near/far clamps and stratified jitter (``ray_marching.py:138-158``).
+
+    When ``cone_angle``/``max_samples_per_ray`` are provided, also runs
+    the trace-time lattice-starvation guard (warn-once)."""
+    if max_samples_per_ray is not None and cone_angle is not None:
+        _warn_if_lattice_starved(
+            scene_aabb, near_plane, far_plane, render_step_size,
+            cone_angle, dt_max, max_samples_per_ray,
+        )
     n_rays = rays_o.shape[0]
     if t_min is None or t_max is None:
         if scene_aabb is not None:
@@ -691,6 +776,8 @@ def ray_marching(
     t_min, t_max = _resolve_t_range(
         rays_o, rays_d, t_min, t_max, scene_aabb, near_plane, far_plane,
         stratified, key, render_step_size,
+        cone_angle=cone_angle, dt_max=dt_max,
+        max_samples_per_ray=max_samples_per_ray,
     )
 
     S = max_samples_per_ray

@@ -113,13 +113,15 @@ def _compact_field_query(
     custom VJP. Returns (rgbs (R,K,3), sigmas (R,K), masks) — or
     (sigmas, masks) with ``density_only`` — where masks excludes any
     over-budget drops (size the budget above the scene's live count;
-    ``masks.sum()`` reports the true rendered count either way).
+    ``masks.sum()`` reports the true rendered count either way), plus a
+    trailing ``dropped`` scalar (over-budget live slots trimmed —
+    proportionally across rays, see ops/sample_compact.py).
     """
     from .ops.sample_compact import compact_live_slots, expand_compact
 
     R, K = masks.shape
     m_budget = min(m_budget, R * K)  # a budget beyond the buffer is free
-    pos, ok, rank, keep = compact_live_slots(masks, m_budget)
+    pos, ok, rank, keep, dropped = compact_live_slots(masks, m_budget)
     t_mid = ((t_starts + t_ends) * 0.5).reshape(-1)
     tc = t_mid[pos]  # (M,)
     ridx = pos // K  # (M,) each compact sample's ray
@@ -143,7 +145,7 @@ def _compact_field_query(
             sigmas_c.reshape(-1, 1).astype(jnp.float32),
             rank, keep.reshape(-1), pos, ok,
         )
-        return dense[:, 0].reshape(R, K), keep
+        return dense[:, 0].reshape(R, K), keep, dropped
     if tsc is None:
         rgbs_c, sigmas_c = field.apply(params, xc, dc)
     else:
@@ -154,7 +156,7 @@ def _compact_field_query(
     dense = expand_compact(vals, rank, keep.reshape(-1), pos, ok)
     rgbs = dense[:, :3].reshape(R, K, 3)
     sigmas = dense[:, 3].reshape(R, K)
-    return rgbs, sigmas, keep
+    return rgbs, sigmas, keep, dropped
 
 
 def render_rays(
@@ -235,6 +237,8 @@ def render_rays(
     t_min, t_max = _resolve_t_range(
         rays_o, rays_d, None, None, scene_aabb, near_plane, far_plane,
         stratified, key, render_step_size,
+        cone_angle=cone_angle, dt_max=dt_max,
+        max_samples_per_ray=max_samples_per_ray,
     )
     S = max_samples_per_ray
 
@@ -309,7 +313,7 @@ def render_rays(
         # runs on fewer slots)
         sg_params = jax.lax.stop_gradient(params)
         if field_samples_budget is not None:
-            sigmas, keep1 = _compact_field_query(
+            sigmas, keep1, _ = _compact_field_query(
                 field, sg_params, rays_o, rays_d, segs.t_starts,
                 segs.t_ends, segs.masks, field_samples_budget,
                 timestamps=timestamps, density_only=True,
@@ -345,7 +349,7 @@ def render_rays(
         # see ops/sample_compact.py). MXU-cheap fields should leave this
         # off: the glue costs more than the dead-lane FLOPs (measured
         # round 2 on the two-stage variant).
-        rgbs, sigmas, masks = _compact_field_query(
+        rgbs, sigmas, masks, field_dropped = _compact_field_query(
             field, params, rays_o, rays_d, t_starts, t_ends, segs.masks,
             field_samples_budget, timestamps=timestamps,
         )
@@ -355,6 +359,7 @@ def render_rays(
             field, params, x, rays_d=rays_d, timestamps=timestamps
         )
         masks = segs.masks
+        field_dropped = jnp.zeros((), jnp.int32)
     if prefilter_sigma and not two_stage:
         # without recompaction the composite runs on every slot anyway, so
         # the visibility cull is pure mask refinement off the *same*
@@ -387,6 +392,7 @@ def render_rays(
             sel["extras"] = {
                 "weights": weights, "t_starts": t_starts, "t_ends": t_ends,
                 "deltas": deltas, "masks": masks,
+                "field_budget_dropped": field_dropped,
             }
         return colors, opacities, depths, masks.sum(), sel
 
@@ -417,6 +423,7 @@ def render_rays(
         extras = {
             "weights": weights, "t_starts": t_starts, "t_ends": t_ends,
             "deltas": deltas, "masks": masks,
+            "field_budget_dropped": field_dropped,
         }
         return colors, opacities, depths, masks.sum(), extras
     return colors, opacities, depths, masks.sum()

@@ -64,6 +64,54 @@ def _reshape_like(x, had_last_dim):
     return x[:, None] if had_last_dim else x
 
 
+# The flat (parity-API) segmented-scan path is 7-200x slower than the
+# dense row-op twins on TPU (docs/benchmarks.md op microbench) — segment
+# ops pay per-sample gathers where the dense layout pays row cumsums.
+# When the packed layout provably IS a flat view of a dense ray-major
+# (n_rays, K) buffer — iota-like ray_indices, or packed_info rows
+# [r*K, K] — the flat entry points silently reroute to the dense twin
+# (identical math, fp-rounding-level differences from cumsum order).
+# Detection is value-based and therefore only possible on CONCRETE
+# arrays (eager calls, e.g. a user port of reference code); traced
+# arrays under jit skip the check. Set to False to force the segmented
+# path (equivalence tests / microbenchs).
+DENSE_BRIDGE = True
+
+
+def _detect_dense_layout(ray_indices, packed_info, n_samples, n_rays):
+    """Return (K, n_rays) when the flat packed layout is provably a dense
+    ray-major fixed-K buffer, else None. Concrete inputs only."""
+    if not DENSE_BRIDGE:
+        return None
+    if packed_info is not None:
+        if isinstance(packed_info, jax.core.Tracer):
+            return None
+        pi = np.asarray(packed_info)
+        if pi.ndim != 2 or pi.shape[1] != 2:
+            return None
+        R = pi.shape[0]
+        if R == 0 or n_samples % R:
+            return None
+        K = n_samples // R
+        if (pi[:, 0] == np.arange(R, dtype=pi.dtype) * K).all() and (
+            pi[:, 1] == K
+        ).all():
+            return K, R
+        return None
+    if ray_indices is None or isinstance(ray_indices, jax.core.Tracer):
+        return None
+    if not n_rays or n_samples % n_rays:
+        return None
+    K = n_samples // n_rays
+    idx = np.asarray(ray_indices)
+    if (
+        idx.reshape(n_rays, K)
+        == np.arange(n_rays, dtype=idx.dtype)[:, None]
+    ).all():
+        return K, n_rays
+    return None
+
+
 def _resolve_indices(
     ray_indices, packed_info, n_samples: int, n_rays: Optional[int]
 ):
@@ -403,6 +451,14 @@ def render_transmittance_from_density(
     sig, had = _flatten(sigmas)
     ts, _ = _flatten(t_starts)
     te, _ = _flatten(t_ends)
+    dl = _detect_dense_layout(ray_indices, packed_info, sig.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        out = render_transmittance_from_density_dense(
+            ts.reshape(R, K), te.reshape(R, K), sig.reshape(R, K), masks=m2
+        ).reshape(-1)
+        return _reshape_like(out, had)
     ray_indices, n_rays = _resolve_indices(
         ray_indices, packed_info, sig.shape[0], n_rays
     )
@@ -428,6 +484,14 @@ def render_transmittance_from_alpha(
     Mirrors reference ``vol_rendering.py:269-323``.
     """
     a, had = _flatten(alphas)
+    dl = _detect_dense_layout(ray_indices, packed_info, a.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        out = render_transmittance_from_alpha_dense(
+            a.reshape(R, K), masks=m2
+        ).reshape(-1)
+        return _reshape_like(out, had)
     ray_indices, n_rays = _resolve_indices(
         ray_indices, packed_info, a.shape[0], n_rays
     )
@@ -455,6 +519,14 @@ def render_weight_from_density(
     sig, had = _flatten(sigmas)
     ts, _ = _flatten(t_starts)
     te, _ = _flatten(t_ends)
+    dl = _detect_dense_layout(ray_indices, packed_info, sig.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        out = render_weight_from_density_dense(
+            ts.reshape(R, K), te.reshape(R, K), sig.reshape(R, K), masks=m2
+        ).reshape(-1)
+        return _reshape_like(out, had)
     ray_indices, n_rays = _resolve_indices(
         ray_indices, packed_info, sig.shape[0], n_rays
     )
@@ -480,6 +552,14 @@ def render_weight_from_alpha(
     Mirrors reference ``vol_rendering.py:396-449``.
     """
     a, had = _flatten(alphas)
+    dl = _detect_dense_layout(ray_indices, packed_info, a.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        out = render_weight_from_alpha_dense(
+            a.reshape(R, K), masks=m2
+        ).reshape(-1)
+        return _reshape_like(out, had)
     ray_indices, n_rays = _resolve_indices(
         ray_indices, packed_info, a.shape[0], n_rays
     )
@@ -507,6 +587,14 @@ def render_visibility(
     """
     a, _ = _flatten(alphas)
     a = jax.lax.stop_gradient(a)
+    dl = _detect_dense_layout(ray_indices, packed_info, a.shape[0], n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        return render_visibility_dense(
+            a.reshape(R, K), masks=m2,
+            early_stop_eps=early_stop_eps, alpha_thre=alpha_thre,
+        ).reshape(-1)
     ray_indices, n_rays = _resolve_indices(
         ray_indices, packed_info, a.shape[0], n_rays
     )
@@ -546,6 +634,18 @@ def accumulate_along_rays(
     """
     w, _ = _flatten(weights)
     n_samples = w.shape[0]
+    dl = _detect_dense_layout(ray_indices, None, n_samples, n_rays)
+    if dl is not None:
+        K, R = dl
+        m2 = _flatten(masks)[0].reshape(R, K) if masks is not None else None
+        v2 = (
+            values.reshape(R, K, values.shape[-1])
+            if values is not None
+            else None
+        )
+        return accumulate_along_rays_dense(
+            w.reshape(R, K), values=v2, masks=m2
+        )
     if n_rays is None:
         n_rays = n_samples
     if values is not None:

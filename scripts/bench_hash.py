@@ -264,6 +264,146 @@ def cmd_pairgather(args):
             print(f"c64 gather FAILED: {type(e).__name__}: {str(e)[:100]}")
 
 
+def cmd_r5gather(args):
+    """Round-5 forward-gather experiments (VERDICT r4 #1).
+
+    (a) full-table vs per-level-operand u32 gathers at stream scale —
+        does the ~2.7x per-level rate seen on small probes survive at
+        100M indices;
+    (b) the T-size curve of the per-level rate (the L/T frontier's
+        throughput axis);
+    (c) the REAL encoder unit (hash_encode_lookup) fwd and fwd+bwd in
+        both gather modes, including the (L, 8N) relayout transposes;
+    (d) the Pallas VMEM-resident serial-gather floor (the VERDICT's
+        proposed kernel): one level's 2 MB packed table in VMEM, corner
+        indices streamed through SMEM, serial per-corner dynamic-slice
+        reads — measured small-scale, reported as ns/corner.
+    """
+    rng = np.random.RandomState(0)
+    N = args.n_samples
+    n8 = N * 8
+
+    table_u32 = jnp.asarray(rng.randint(0, 2**31, L * T).astype(np.uint32))
+    idx_all = jnp.asarray(rng.randint(0, L * T, (N, L * 8)), jnp.int32)
+
+    def g_full(t, i):
+        return t[i]
+
+    tb = timeit_scan(f"G full-table u32 gather ({N*L*8/1e6:.1f}M idx)",
+                     g_full, table_u32, idx_all)
+
+    idx_l = jnp.asarray(rng.randint(0, T, (L, n8)), jnp.int32)
+
+    def g_per_level(t, il):
+        outs = []
+        for lev in range(L):
+            tl = jax.lax.dynamic_slice_in_dim(t, lev * T, T)
+            outs.append(tl[il[lev]])
+        return outs
+
+    tp = timeit_scan(f"G per-level 16x({n8/1e6:.1f}M idx over 2MB)",
+                     g_per_level, table_u32, idx_l)
+    print(f"  -> full {tb/ (N*L*8) * 1e9:.2f} ns/idx, "
+          f"per-level {tp / (N*L*8) * 1e9:.2f} ns/idx", flush=True)
+
+    # (b) T-size curve at constant index volume
+    for log2t in (15, 17, 19):
+        Ts = 1 << log2t
+        ix = jnp.asarray(rng.randint(0, Ts, (L, n8)), jnp.int32)
+
+        def g_t(t, il, Ts=Ts):
+            return [
+                jax.lax.dynamic_slice_in_dim(t, lev * Ts, Ts)[il[lev]]
+                for lev in range(L)
+            ]
+
+        tt = timeit_scan(f"G per-level T=2^{log2t}", g_t, table_u32, ix)
+        print(f"  -> {tt / (N*L*8) * 1e9:.2f} ns/idx", flush=True)
+
+    # (c) the real encoder unit in both modes
+    from nerfacc_tpu.ops.hash_gather import hash_encode_lookup
+
+    table = jnp.asarray(rng.randn(2 * L * T).astype(np.float32) * 1e-2)
+    cw = jnp.asarray(rng.rand(N, L * 8).astype(np.float32))
+    fi = idx_all
+
+    for mode, label in ((True, "packed"), ("per_level", "per_level")):
+        def e_fwd(t, i, w, mode=mode):
+            return hash_encode_lookup(t, i, w, T, False, mode)
+
+        timeit_scan(f"E lookup fwd [{label}]", e_fwd, table, fi, cw)
+
+        def e_grad(t, i, w, mode=mode):
+            return jax.grad(
+                lambda tt: jnp.sum(
+                    hash_encode_lookup(tt, i, w, T, False, mode) ** 2
+                )
+            )(t)
+
+        timeit_scan(f"E lookup fwd+bwd [{label}]", e_grad, table, fi, cw)
+
+    # (d) Pallas VMEM-resident serial gather floor
+    if not args.skip_pallas:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        BLKP = 8192
+        NP = args.pallas_corners
+
+        def vmem_gather_kernel(idx_ref, tbl_ref, out_ref):
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+            def outer(r, _):
+                def inner(j, acc):
+                    i = r * 128 + j
+                    idx = idx_ref[i]
+                    row = tbl_ref[idx // 128, :][None, :]
+                    val = jnp.sum(
+                        jnp.where(lanes == idx % 128, row, 0)
+                    )
+                    return jnp.where(lanes == j, val, acc)
+
+                acc = jax.lax.fori_loop(
+                    0, 128, inner, jnp.zeros((1, 128), jnp.int32)
+                )
+                out_ref[r, :] = acc[0]
+                return 0
+
+            jax.lax.fori_loop(0, BLKP // 128, outer, 0)
+
+        tbl_rows = jnp.asarray(
+            rng.randint(0, 2**31, (T // 128, 128)).astype(np.int32)
+        )
+        idxp = jnp.asarray(rng.randint(0, T, NP), jnp.int32)
+
+        def p_gather(idxp, tbl):
+            return pl.pallas_call(
+                vmem_gather_kernel,
+                grid=(NP // BLKP,),
+                in_specs=[
+                    pl.BlockSpec((BLKP,), lambda b: (b,),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((T // 128, 128), lambda b: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (BLKP // 128, 128), lambda b: (b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (NP // 128, 128), jnp.int32
+                ),
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )(idxp, tbl)
+
+        tpk = timeit_scan(
+            f"P Pallas VMEM serial gather ({NP/1e3:.0f}k corners)",
+            p_gather, idxp, tbl_rows,
+        )
+        print(f"  -> {tpk / NP * 1e9:.2f} ns/corner "
+              "(vs the XLA per-level rate above)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -280,6 +420,12 @@ def main():
         "count (matches bench.py --field_budget_ratio)",
     )
     p.set_defaults(fn=cmd_bisect)
+
+    p = sub.add_parser("r5gather", help="round-5 forward-gather experiments")
+    p.add_argument("--n_samples", type=int, default=786432)
+    p.add_argument("--pallas_corners", type=int, default=262144)
+    p.add_argument("--skip_pallas", action="store_true")
+    p.set_defaults(fn=cmd_r5gather)
 
     p = sub.add_parser("pairgather", help="wide-element gather probe")
     p.add_argument("--n_samples", type=int, default=131072)

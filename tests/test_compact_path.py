@@ -10,6 +10,7 @@ on).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfacc_tpu import create_grid, with_binary
 from nerfacc_tpu.models import TensoCPRadianceField
@@ -41,6 +42,7 @@ def _setup(n_rays=192, K=12):
     return field, params, grid, o, d, px, kw
 
 
+@pytest.mark.slow
 def test_compact_loss_and_grads_match_expanded():
     field, params, grid, o, d, px, kw = _setup()
     bkgd = jnp.ones(3)

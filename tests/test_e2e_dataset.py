@@ -33,6 +33,8 @@ from nerfacc_tpu.datasets.procedural import (
 REPO = Path(__file__).resolve().parent.parent
 
 
+pytestmark = pytest.mark.slow  # e2e CLI drives (round-5 fast tier)
+
 @pytest.fixture(scope="module")
 def blender_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("blender")

@@ -17,9 +17,12 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
+
+pytestmark = pytest.mark.slow  # e2e CLI drives (round-5 fast tier)
 
 def _free_port() -> int:
     s = socket.socket()

@@ -7,6 +7,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:
@@ -72,6 +73,7 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __graft_entry__
@@ -79,6 +81,7 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device_bench_shapes():
     """Round-3 (VERDICT #6): sharded == single-device at BENCH-LIKE
     shapes — 4096 rays/device x 64 slots with the flagship probe config
@@ -192,6 +195,83 @@ def test_sharded_train_step_matches_single_device_bench_shapes():
         assert diff <= 5e-3 * ref_n + 1e-12, (
             f"leaf shape {r.shape}: relative L2 {diff / max(ref_n, 1e-30):.2e} "
             "exceeds the measured reduction-order noise envelope (5e-3)"
+        )
+
+
+def test_sharded_grads_identical_data_control():
+    """Tight-tolerance control for the L2-envelope test above (round-4
+    advisor): every shard receives THE SAME rays, so per-shard gradient
+    sums have identical operands in identical order and pmean averages
+    identical values — batch-split fp accumulation noise is zero by
+    construction. Any real collective/sharding defect (wrong axis,
+    missing/mis-scaled psum, scrambled data layout) still produces O(1)
+    errors here, so this control retains elementwise rtol=1e-5 where the
+    bench-shape test must tolerate 5e-3 relative L2 of reduction-order
+    noise."""
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    n_local = 32
+
+    rng = np.random.RandomState(5)
+    o1 = jnp.asarray(rng.rand(n_local, 3) * 2 - 1, jnp.float32)
+    d1 = jnp.asarray(rng.randn(n_local, 3), jnp.float32)
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    px1 = jnp.asarray(rng.rand(n_local, 3), jnp.float32)
+    # identical data on every shard
+    o = jnp.tile(o1, (n_dev, 1))
+    d = jnp.tile(d1, (n_dev, 1))
+    px = jnp.tile(px1, (n_dev, 1))
+
+    field = VanillaNeRFRadianceField(net_depth=2, net_width=32)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+    )
+    aabb = jnp.asarray([-1.5] * 3 + [1.5] * 3)
+    grid = create_grid(aabb, resolution=16, occupied=True)
+    kwargs = dict(
+        scene_aabb=aabb, render_step_size=5e-2, max_samples_per_ray=64
+    )
+
+    def loss_and_grads(params, grid, o, d, px):
+        def loss_fn(p):
+            colors, _, _, _ = render_rays(
+                p, field, o, d, grid=grid, render_bkgd=jnp.ones(3),
+                samples_budget=o.shape[0] * 64, **kwargs,
+            )
+            return jnp.mean((colors - px) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    ref_loss, ref_grads = jax.jit(loss_and_grads)(params, grid, o1, d1, px1)
+
+    def sharded_step(params, grid, o, d, px):
+        loss, grads = loss_and_grads(params, grid, o, d, px)
+        loss = jax.lax.pmean(loss, axis_name="data")
+        grads = jax.lax.pmean(grads, axis_name="data")
+        return loss, grads
+
+    stepped = jax.jit(
+        shard_map(
+            sharded_step, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+    )
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("data"))
+    got_loss, got_grads = stepped(
+        jax.device_put(params, rep), jax.device_put(grid, rep),
+        jax.device_put(o, sh), jax.device_put(d, sh),
+        jax.device_put(px, sh),
+    )
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-6)
+    for r, g in zip(
+        jax.tree.flatten(ref_grads)[0], jax.tree.flatten(got_grads)[0]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-7
         )
 
 

@@ -4,6 +4,7 @@ static-shape sampler specifics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfacc_tpu import create_grid, ray_marching, with_binary
 
@@ -407,3 +408,58 @@ def test_ray_marching_fast_path_knobs():
         np.asarray(slow.t_starts)[ms], np.asarray(fast.t_starts)[mf],
         rtol=1e-5,
     )
+
+
+def test_lattice_starvation_guard_warns_once():
+    """Library-level guard (round-4 VERDICT #7): a max_samples_per_ray
+    that cannot cover 90% of the static [near, far] range must raise a
+    RuntimeWarning at the library entry points (the reference's marcher
+    has no cap — ray_marching.cu:139-161 — so our cap must self-police),
+    exactly once per config; a covering config must stay silent."""
+    import warnings as _w
+
+    from nerfacc_tpu.ray_marching import _starvation_warned
+
+    rng = np.random.RandomState(0)
+    o = jnp.asarray(rng.rand(4, 3), jnp.float32)
+    d = jnp.asarray(rng.randn(4, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    _starvation_warned.clear()
+    starved = dict(
+        near_plane=0.2, far_plane=1e4, render_step_size=1e-2,
+        cone_angle=0.004, max_samples_per_ray=512,
+        samples_budget=4 * 64,
+    )
+    with pytest.warns(RuntimeWarning, match="max_samples_per_ray"):
+        ray_marching(o, d, **starved)
+    # warn-once: a second identical call stays silent
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        ray_marching(o, d, **starved)
+
+    # a covering config is silent (needs ~2308 < 4096)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        ray_marching(
+            o, d, near_plane=0.2, far_plane=1e4, render_step_size=1e-2,
+            cone_angle=0.004, max_samples_per_ray=4096,
+            samples_budget=4 * 64,
+        )
+
+    # render_rays (the hot-path entry) warns too
+    from nerfacc_tpu.utils import render_rays
+    from nerfacc_tpu.models import VanillaNeRFRadianceField
+
+    field = VanillaNeRFRadianceField(net_depth=1, net_width=16)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3))
+    )
+    _starvation_warned.clear()
+    with pytest.warns(RuntimeWarning, match="max_samples_per_ray"):
+        render_rays(
+            params, field, o, d, near_plane=0.2, far_plane=1e4,
+            render_step_size=1e-2, cone_angle=0.004,
+            max_samples_per_ray=512, samples_budget=4 * 64,
+        )
+    _starvation_warned.clear()

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfacc_tpu import pack_info, ray_marching, ray_resampling
 
@@ -65,6 +66,7 @@ def test_resampling_empty_ray_masked():
     assert int(out.packed_info[1, 1]) == 0
 
 
+@pytest.mark.slow
 def test_resampling_segment_clamp_large_n_rays():
     """At large n_rays the f32 ulp of the global-CDF ray offset exceeds
     the bin spacing, so an unclamped searchsorted can resolve a seam query

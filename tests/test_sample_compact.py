@@ -25,8 +25,9 @@ def test_compact_live_slots_roundtrip():
     masks = jnp.asarray(rng.rand(16, 32) < 0.4)
     n_live = int(masks.sum())
     M = n_live + 5
-    pos, ok, rank, keep = compact_live_slots(masks, M)
+    pos, ok, rank, keep, dropped = compact_live_slots(masks, M)
     assert bool((keep == masks).all())  # no drops at this budget
+    assert int(dropped) == 0
     assert int(ok.sum()) == n_live
     # pos lists the live flat slots in order
     flat = np.flatnonzero(np.asarray(masks).reshape(-1))
@@ -41,15 +42,47 @@ def test_compact_live_slots_roundtrip():
     )
 
 
-def test_compact_live_slots_overflow_drops_tail():
+def test_compact_live_slots_overflow_drops_proportionally():
+    """Over budget, every ray keeps a front-to-back prefix under the
+    proportional quota — no batch-tail ray is silently zeroed (round-4
+    advisor finding)."""
     masks = jnp.ones((4, 8), bool)
-    pos, ok, rank, keep = compact_live_slots(masks, 10)
-    assert int(keep.sum()) == 10
-    assert bool(ok.all())
-    # drops are the LAST flat slots (front-to-back per ray preserved)
+    pos, ok, rank, keep, dropped = compact_live_slots(masks, 10)
+    k = np.asarray(keep)
+    # quota = floor(8 * 10/32) = 2 per ray, front slots kept
+    np.testing.assert_array_equal(k, np.tile(np.arange(8) < 2, (4, 1)))
+    assert int(dropped) == 32 - int(k.sum())
+    assert int(ok.sum()) == int(k.sum())
+    # pos lists exactly the kept flat slots in order
     np.testing.assert_array_equal(
-        np.asarray(keep).reshape(-1), np.arange(32) < 10
+        np.asarray(pos)[: int(k.sum())], np.flatnonzero(k.reshape(-1))
     )
+
+
+def test_compact_live_slots_overflow_keeps_every_live_ray():
+    """Rays with few samples keep at least one under heavy overflow; the
+    compact buffer never overflows."""
+    rng = np.random.RandomState(7)
+    masks = jnp.asarray(rng.rand(32, 16) < 0.6)
+    # one-sample rays mixed in
+    m = np.asarray(masks).copy()
+    m[5] = False
+    m[5, 3] = True
+    masks = jnp.asarray(m)
+    M = 40  # well below the ~300 live
+    pos, ok, rank, keep, dropped = compact_live_slots(masks, M)
+    k = np.asarray(keep)
+    assert int(k.sum()) <= M
+    assert int(dropped) == int(masks.sum()) - int(k.sum())
+    live_rays = np.asarray(masks).any(axis=1)
+    # every ray that had samples still has at least one (the backstop
+    # can only trim when sum(quota) > M, impossible at these sizes)
+    assert bool(k.any(axis=1)[live_rays].all())
+    # kept slots are a front-to-back prefix of each ray's live slots
+    for r in range(32):
+        lv = np.flatnonzero(np.asarray(masks)[r])
+        kv = np.flatnonzero(k[r])
+        np.testing.assert_array_equal(kv, lv[: len(kv)])
 
 
 def test_expand_compact_gradient_is_selection_gather():
@@ -59,7 +92,7 @@ def test_expand_compact_gradient_is_selection_gather():
     rng = np.random.RandomState(1)
     masks = jnp.asarray(rng.rand(8, 16) < 0.5)
     M = int(masks.sum()) + 3
-    pos, ok, rank, keep = compact_live_slots(masks, M)
+    pos, ok, rank, keep, _ = compact_live_slots(masks, M)
     vals = jnp.asarray(rng.randn(M, 2), jnp.float32)
     w = jnp.asarray(rng.randn(8 * 16, 2), jnp.float32)
 
@@ -86,6 +119,7 @@ def scene():
     return aabb, grid, o, d
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["mlp", "ngp"])
 def test_render_rays_field_budget_matches_dense(scene, model):
     aabb, grid, o, d = scene
