@@ -56,6 +56,15 @@ def main():
     p.add_argument("--max_samples_per_ray", type=int, default=1024)
     p.add_argument("--samples_budget", type=int, default=1 << 17)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument(
+        "--eval_every", type=int, default=0,
+        help="if > 0, render one held-out view every N steps and print "
+        "its PSNR (quality-trajectory diagnostic)",
+    )
+    p.add_argument(
+        "--sched_steps", type=int, default=0,
+        help="lr-decay milestone horizon (0 = max_steps)",
+    )
     p.add_argument("--test_chunk_size", type=int, default=4096)
     p.add_argument("--eval_views", type=int, default=2)
     p.add_argument(
@@ -128,7 +137,13 @@ def main():
 
     grid = create_grid(scene_aabb, resolution=args.grid_resolution)
 
-    ms = args.max_steps
+    # lr decay milestones scale with --sched_steps (default: max_steps,
+    # the reference's MultiStepLR shape — train_mlp_dnerf.py:83-92).
+    # Decoupling them probes the measured 10k->30k regression: a 30k run
+    # spends steps 10k-15k at FULL lr where the (better-scoring) 10k run
+    # had already decayed 10x — early decay + a long low-lr tail is the
+    # candidate schedule for long runs on this fast-overfitting benchmark.
+    ms = args.sched_steps or args.max_steps
     sched = optax.piecewise_constant_schedule(
         args.lr, {ms // 2: 0.33, ms * 3 // 4: 0.33, ms * 9 // 10: 0.33}
     )
@@ -206,7 +221,26 @@ def main():
             occ_eval_fn=occ_eval_fn, occ_thre=1e-2,
         )
 
+    def eval_psnr(params, grid, n_views):
+        vals = []
+        for i in range(min(n_views, scene.test_poses.shape[0])):
+            rays = scene.rays_for_view(scene.test_poses[i])
+            t_eval = getattr(scene, "test_timestamps", scene.timestamps)
+            t = jnp.full((rays.origins.shape[0], 1), t_eval[i])
+            eval_kwargs = dict(render_kwargs, coarse_stride=1)
+            colors, _, _ = render_image(
+                params, field, rays.origins, rays.viewdirs,
+                grid=grid, render_bkgd=jnp.ones(3), timestamps=t,
+                test_chunk_size=args.test_chunk_size, alpha_thre=0.01,
+                **eval_kwargs,
+            )
+            gt = scene.test_images[i].reshape(-1, 3)
+            mse = float(jnp.mean((colors - gt) ** 2))
+            vals.append(-10.0 * np.log10(mse))
+        return vals
+
     t_start = time.perf_counter()
+    eval_s = 0.0
     for step in range(args.max_steps):
         key, k_grid, k_render = jax.random.split(key, 3)
         if step % 16 == 0:
@@ -223,24 +257,22 @@ def main():
                 f"step={step} loss={float(loss):.5f} "
                 f"n_samples={int(n)} elapsed={el:.1f}s"
             )
+        if (
+            args.eval_every > 0
+            and step > 0
+            and step % args.eval_every == 0
+        ):
+            # mid-training quality trajectory (finds the peak the
+            # measured 10k->30k regression hides); eval time is tracked
+            # and excluded from train_time_s
+            e0 = time.perf_counter()
+            v = eval_psnr(params, grid, 1)
+            eval_s += time.perf_counter() - e0
+            print(f"eval@{step}: {v[0]:.2f}")
 
-    psnrs = []
-    for i in range(min(args.eval_views, scene.test_poses.shape[0])):
-        rays = scene.rays_for_view(scene.test_poses[i])
-        t_eval = getattr(scene, "test_timestamps", scene.timestamps)
-        t = jnp.full((rays.origins.shape[0], 1), t_eval[i])
-        eval_kwargs = dict(render_kwargs, coarse_stride=1)
-        colors, _, _ = render_image(
-            params, field, rays.origins, rays.viewdirs,
-            grid=grid, render_bkgd=jnp.ones(3), timestamps=t,
-            test_chunk_size=args.test_chunk_size, alpha_thre=0.01,
-            **eval_kwargs,
-        )
-        gt = scene.test_images[i].reshape(-1, 3)
-        mse = float(jnp.mean((colors - gt) ** 2))
-        psnrs.append(-10.0 * np.log10(mse))
+    psnrs = eval_psnr(params, grid, args.eval_views)
     print(f"PSNR: {np.mean(psnrs):.2f}")
-    print(f"train_time_s: {time.perf_counter() - t_start:.1f}")
+    print(f"train_time_s: {time.perf_counter() - t_start - eval_s:.1f}")
 
 
 if __name__ == "__main__":

@@ -423,6 +423,33 @@ def main():
 
     has_bkgd = render_bkgd is not None
 
+    # Dynamic ray batching must scale the sample budgets WITH the bucket:
+    # a fixed samples_budget under a growing num_rays shrinks the per-ray
+    # slot count K = budget / n_rays — measured on the 800x800 full-
+    # protocol gate as a death spiral (rays -> 65536, K -> 4, decimation
+    # crushes live samples-per-ray, the controller raises rays further;
+    # 18.3 PSNR @ 110 ms/step). The reference's update_num_rays
+    # (train_ngp_nerf.py:236-241) never had this coupling because its
+    # marcher has no budget. Keep the slots-per-ray ratios of the BASE
+    # config constant across buckets.
+    _k_slots = -(-args.samples_budget // args.num_rays)
+    _kv_slots = -(-args.visible_samples_budget // args.num_rays)
+    _kf_ratio = (
+        render_kwargs.get("field_samples_budget", 0) / args.samples_budget
+    )
+
+    def _bucket_kwargs(n_rays):
+        if args.target_sample_batch_size <= 0:
+            return render_kwargs
+        kw = dict(render_kwargs)
+        kw["samples_budget"] = n_rays * _k_slots
+        kw["visible_samples_budget"] = n_rays * _kv_slots
+        if _kf_ratio > 0:
+            kw["field_samples_budget"] = int(
+                n_rays * _k_slots * _kf_ratio
+            )
+        return kw
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(
         params, opt_state, grid, rays_o, rays_d, pixels, bkgd, key, dist_w
@@ -432,7 +459,7 @@ def main():
                 p, field, rays_o, rays_d, grid=grid,
                 render_bkgd=bkgd if has_bkgd else None,
                 stratified=True, key=key,
-                return_extras=True, **render_kwargs,
+                return_extras=True, **_bucket_kwargs(rays_o.shape[0]),
             )
             per_ray = huber(colors, pixels).mean(-1)
             if has_bkgd:
@@ -607,6 +634,11 @@ def main():
             # eval background (white) so the GT matches the eval render
             rgb, a = eval_images[..., :3], eval_images[..., 3:]
             eval_images = rgb * a + (1.0 - a)
+    print(
+        f"eval: {min(args.eval_views, eval_poses.shape[0])} of "
+        f"{eval_poses.shape[0]} test poses "
+        f"({eval_images.shape[1]}x{eval_images.shape[2]})"
+    )
     for i in range(min(args.eval_views, eval_poses.shape[0])):
         rays = scene.rays_for_view(eval_poses[i])
         eval_kwargs = dict(render_kwargs, coarse_stride=1)

@@ -36,7 +36,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-FIXTURE = Path("/tmp/nerfsynth800/procedural")
+FIXTURE = Path("/tmp/nerfsynth800v2/procedural")
 
 
 def ensure_fixture(height=800, width=800, n_train=100, n_test=8):
@@ -51,7 +51,7 @@ def ensure_fixture(height=800, width=800, n_train=100, n_test=8):
     t0 = time.perf_counter()
     write_blender_fixture(
         FIXTURE.parent, n_train=n_train, n_val=0, n_test=n_test,
-        height=height, width=width,
+        height=height, width=width, hemisphere=True,
     )
     print(f"fixture rendered in {time.perf_counter() - t0:.1f}s "
           f"({n_train} train + {n_test} test views @ {width}x{height})",
