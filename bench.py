@@ -29,6 +29,15 @@ import time
 from pathlib import Path
 
 import jax
+
+if os.environ.get("NERFACC_PLATFORM"):
+    # hermetic hook: force a platform (e.g. cpu) before first use. The
+    # axon sitecustomize imports jax at interpreter start and snapshots
+    # JAX_PLATFORMS, so a plain env var is too late here. Without this,
+    # a "CPU" bench run silently grabs the TPU tunnel and BLOCKS any
+    # concurrent driver job in backend init (measured round-5: two
+    # wedged bench jobs diagnosed as hangs were exactly this).
+    jax.config.update("jax_platforms", os.environ["NERFACC_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 import optax
