@@ -64,17 +64,24 @@ def _rgba_views(poses, K, height, width, times=None, chunk=65536):
 
     def _render_view(origins, viewdirs, t_val):
         n = origins.shape[0]
-        pad = (-n) % chunk
+        c = min(chunk, n)  # small views: one chunk of their own size
+        pad = (-n) % c
         if pad:
-            origins = jnp.concatenate([origins, origins[:pad]])
-            viewdirs = jnp.concatenate([viewdirs, viewdirs[:pad]])
+            # tile-pad (pad may exceed n when n barely exceeds c)
+            reps = -(-pad // n)
+            origins = jnp.concatenate(
+                [origins, jnp.tile(origins, (reps, 1))[:pad]]
+            )
+            viewdirs = jnp.concatenate(
+                [viewdirs, jnp.tile(viewdirs, (reps, 1))[:pad]]
+            )
         cb, cw = [], []
-        for s in range(0, origins.shape[0], chunk):
-            o, d = origins[s:s + chunk], viewdirs[s:s + chunk]
+        for s in range(0, origins.shape[0], c):
+            o, d = origins[s:s + c], viewdirs[s:s + c]
             if times is None:
                 b_, w_ = _chunk_fn(o, d)
             else:
-                t = jnp.full((chunk, 1), t_val, jnp.float32)
+                t = jnp.full((c, 1), t_val, jnp.float32)
                 b_, w_ = _chunk_fn_t(o, d, t)
             cb.append(np.asarray(b_))
             cw.append(np.asarray(w_))

@@ -38,7 +38,26 @@ run_one() {
   [ -f ".bench_logs/$name.skip" ] && return 0
   [ "$(date +%s)" -ge "$DEADLINE" ] && return 1
   echo "=== $name start $(date +%H:%M:%S)"
-  timeout "${STEP_TIMEOUT_S:-10800}" bash -c "$*" > ".bench_logs/$name.log" 2>&1
+  timeout "${STEP_TIMEOUT_S:-10800}" bash -c "$*" > ".bench_logs/$name.log" 2>&1 &
+  local job=$!
+  # init-liveness watchdog: a client whose tunnel session wedges blocks
+  # FOREVER in backend init (futex wait, ~zero CPU, no log output past
+  # the backend warning) — kill it after INIT_GRACE_S of no real output
+  # so the pass can finish and the probe gate can re-check the tunnel
+  local waited=0 grace="${INIT_GRACE_S:-600}"
+  while kill -0 "$job" 2>/dev/null; do
+    sleep 15
+    waited=$((waited + 15))
+    if [ "$waited" -ge "$grace" ]; then
+      if ! grep -qv "xla_bridge\|^WARNING\|^$" ".bench_logs/$name.log"; then
+        echo "!!! $name: no output after ${waited}s (wedged init) — killing"
+        kill -- -"$job" 2>/dev/null || kill "$job" 2>/dev/null
+        pkill -P "$job" 2>/dev/null
+      fi
+      grace=$((grace + 600))  # re-check later only if output appeared
+    fi
+  done
+  wait "$job"
   local rc=$?
   if [ $rc -eq 0 ] && ! grep -q "Unable to initialize backend" ".bench_logs/$name.log"; then
     {
