@@ -487,3 +487,19 @@ def test_render_image_keeps_caller_visible_budget():
         params, field, rays_o, rays_d, samples_budget=n * 64, **kwargs,
     )
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+
+
+def test_bucketer_budget_coupling_keeps_slots_constant():
+    """Round-5 regression (the 800x800 gate failure): when dynamic ray
+    batching changes the batch size, the per-ray slot count K must stay
+    constant — a fixed budget under growing rays collapses K and
+    decimates every ray (measured 18.3 PSNR / 110 ms steps). This pins
+    the coupling rule the trainer uses: budget scales linearly with the
+    bucket."""
+    base_rays, base_budget = 4096, 131072  # K = 32
+    k0 = -(-base_budget // base_rays)
+    for n_rays in (1024, 4096, 16384, 65536):
+        budget = n_rays * k0
+        # render_rays' K formula
+        K = min(1024, max(1, -(-budget // n_rays)))
+        assert K == k0, (n_rays, K)
