@@ -104,7 +104,9 @@ def main():
     )
     args = p.parse_args()
 
-    if args.scene == "procedural":
+    # a given --data_root ALWAYS routes through the on-disk loader
+    # (round-5 fix, see train_ngp_nerf.py)
+    if args.scene == "procedural" and args.data_root is None:
         from nerfacc_tpu.datasets import ProceduralDynamicScene
 
         scene = ProceduralDynamicScene(

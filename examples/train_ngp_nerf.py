@@ -66,6 +66,12 @@ def main():
         "blender otherwise",
     )
     p.add_argument("--unbounded", action="store_true")
+    p.add_argument(
+        "--factor", type=int, default=0,
+        help="image downscale factor for --data_root loaders (0 = the "
+        "loader default: 4 for 360 captures via images_4/, 1 for "
+        "blender)",
+    )
     p.add_argument("--max_steps", type=int, default=20000)
     p.add_argument("--num_rays", type=int, default=8192)
     p.add_argument(
@@ -247,12 +253,17 @@ def main():
     )
     args = p.parse_args()
 
-    if args.scene == "procedural":
+    # a given --data_root ALWAYS routes through the on-disk loaders
+    # (round-5 fix: the name-keyed branch silently ignored data_root,
+    # so every "fixture-backed" trainer run — including the round-3
+    # realdata drill and the first 800x800 gate — actually trained
+    # the in-memory procedural scene)
+    if args.scene == "procedural" and args.data_root is None:
         scene = ProceduralScene(
             n_views=args.train_views,
             width=args.image_size, height=args.image_size,
         )
-    elif args.scene == "procedural360":
+    elif args.scene == "procedural360" and args.data_root is None:
         from nerfacc_tpu.datasets import Procedural360Scene
 
         # directional-environment variant (bkgd None: the model owns the
@@ -275,13 +286,16 @@ def main():
         else:
             from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
 
+        loader_kw = {"factor": args.factor} if args.factor else {}
         scene = SubjectLoader(
-            subject_id=args.scene, root_fp=args.data_root, split="train"
+            subject_id=args.scene, root_fp=args.data_root, split="train",
+            **loader_kw,
         )
         # evaluate on the real test split (the train loader's test_* alias
         # its own train views)
         test_scene = SubjectLoader(
-            subject_id=args.scene, root_fp=args.data_root, split="test"
+            subject_id=args.scene, root_fp=args.data_root, split="test",
+            **loader_kw,
         )
         scene.test_poses = test_scene.test_poses
         scene.test_images = test_scene.test_images

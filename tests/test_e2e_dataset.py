@@ -232,7 +232,7 @@ def test_train_ngp_unbounded_on_colmap_fixture(colmap_root):
     psnr = _run_script(
         "train_ngp_nerf.py",
         ["--scene", "procedural360", "--dataset", "360",
-         "--data_root", str(colmap_root), "--unbounded",
+         "--data_root", str(colmap_root), "--unbounded", "--factor", "1",
          "--max_steps", "200", "--num_rays", "256",
          "--grid_resolution", "64", "--far_plane", "30",
          "--max_samples_per_ray", "1024",
