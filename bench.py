@@ -127,6 +127,11 @@ def main():
         help="with --model ngp: number of hash levels (reference: 16)",
     )
     ap.add_argument(
+        "--ngp_features", type=int, default=2,
+        help="with --model ngp: features per level (4 + 8 levels = the "
+        "capacity-preserving half-sort-volume config)",
+    )
+    ap.add_argument(
         "--ngp_pallas_grad", action="store_true",
         help="with --model ngp: use the round-2 serial Pallas VMEM "
         "scatter for the hash-table gradient instead of XLA's fused "
@@ -154,6 +159,7 @@ def main():
             gather_mode=args.ngp_gather_mode,
             log2_hashmap_size=args.ngp_log2_size,
             n_levels=args.ngp_levels,
+            n_features=args.ngp_features,
         )
         iters = args.iters or (3 if args.ngp_pallas_grad else 20)
     params = field.init(

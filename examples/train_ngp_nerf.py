@@ -245,6 +245,11 @@ def main():
         help="--model ngp: number of hash levels",
     )
     p.add_argument(
+        "--ngp_features", type=int, default=2,
+        help="--model ngp: features per level (4 with --ngp_levels 8 = "
+        "full capacity at half the backward sort volume)",
+    )
+    p.add_argument(
         "--fused_march", action="store_true",
         help="use the fused Pallas march-select kernels instead of the "
         "default XLA op-chain selection (bit-identical sample sets by "
@@ -396,6 +401,7 @@ def main():
             gather_mode=args.ngp_gather_mode,
             log2_hashmap_size=args.ngp_log2_size,
             n_levels=args.ngp_levels,
+            n_features=args.ngp_features,
         )
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)

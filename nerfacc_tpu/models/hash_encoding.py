@@ -148,11 +148,14 @@ class HashEncoder(nn.Module):
         # trilinear blend weight per corner
         cw = (wx * wy * wz).astype(jnp.float32)
 
-        if F == 2:
+        if F in (2, 4):
             from ..ops.hash_gather import hash_encode_lookup
 
-            # (N, 2L) feature-major (a fixed permutation of the
-            # reference's interleaved order; see hash_encode_lookup)
+            # (N, F*L) feature-major (a fixed permutation of the
+            # reference's interleaved order; see hash_encode_lookup).
+            # F=4 runs two packed-pair gathers per corner and shares
+            # each level's backward sort across all 4 features — the
+            # capacity-preserving half-corner config is L=8/F=4
             return hash_encode_lookup(
                 self.table.astype(jnp.float32), flat_idx, cw, T,
                 self.pallas_grad,

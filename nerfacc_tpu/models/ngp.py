@@ -106,6 +106,7 @@ class NGPRadianceField(nn.Module):
     unbounded: bool = False
     geo_feat_dim: int = 15
     n_levels: int = 16
+    n_features: int = 2  # 4 = round-5 capacity-preserving config (L=8)
     log2_hashmap_size: int = 19
     pallas_grad: bool = False  # opt-in serial Pallas scatter
     gather_mode: str = "packed"  # "per_level" = round-5 forward variant
@@ -113,6 +114,7 @@ class NGPRadianceField(nn.Module):
     def setup(self):
         self.encoder = HashEncoder(
             n_levels=self.n_levels,
+            n_features=self.n_features,
             log2_hashmap_size=self.log2_hashmap_size,
             pallas_grad=self.pallas_grad,
             gather_mode=self.gather_mode,

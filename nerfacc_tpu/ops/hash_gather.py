@@ -219,7 +219,11 @@ def hash_encode_lookup(
     (``atomicAdd`` per corner); positions get no gradient there either
     when the input is detached (the NGP example's usage).
     """
-    return _lookup_fwd_impl(table, flat_idx, corner_w)
+    L = flat_idx.shape[1] // 8
+    n_features = table.shape[0] // (L * n_entries_per_level)
+    return _lookup_fwd_impl(
+        table, flat_idx, corner_w, packed_gather, n_features
+    )
 
 
 def _corner_sum_matrix(L: int) -> jnp.ndarray:
@@ -232,6 +236,20 @@ def _corner_sum_matrix(L: int) -> jnp.ndarray:
     """
     cols = jnp.arange(L * 8) // 8
     return (cols[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+
+
+def _pack_pair(f0, f1):
+    """Two (M,) f32 feature columns -> (M,) u32 of packed bf16 pairs."""
+    hi = jax.lax.shift_left(
+        jax.lax.bitcast_convert_type(
+            f0.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32),
+        jnp.uint32(16),
+    )
+    lo = jax.lax.bitcast_convert_type(
+        f1.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return hi | lo
 
 
 def _pack_table_u32(table):
@@ -268,11 +286,37 @@ def _unpack_u32(g):
     return hi, lo
 
 
-def _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather=True):
+def _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather=True,
+                     n_features=2):
     N, L8 = flat_idx.shape
     L = L8 // 8
-    LT = table.shape[0] // 2
+    LT = table.shape[0] // n_features
     S = _corner_sum_matrix(L)
+    if n_features == 4:
+        # F=4 (round-5): two bf16-packed u32 gathers per corner over the
+        # same index set — per FEATURE the gather count matches F=2, and
+        # the backward's per-level sorts are shared by all 4 features,
+        # so L=8/F=4 carries the full 32-feature capacity at HALF the
+        # sort volume of L=16/F=2 (the backward is ~60% of encoder cost)
+        packs = [
+            _pack_pair(
+                table[2 * p * LT:(2 * p + 1) * LT],
+                table[(2 * p + 1) * LT:(2 * p + 2) * LT],
+            )
+            for p in range(2)
+        ]
+        flat_idx, corner_w, p0, p1 = jax.lax.optimization_barrier(
+            (flat_idx, corner_w, packs[0], packs[1])
+        )
+        f0, f1 = _unpack_u32(p0[flat_idx])
+        f2, f3 = _unpack_u32(p1[flat_idx])
+        return jnp.concatenate(
+            [
+                jnp.dot(f * corner_w, S, preferred_element_type=jnp.float32)
+                for f in (f0, f1, f2, f3)
+            ],
+            axis=1,
+        )  # (N, 4L) feature-major
     if packed_gather == "per_level":
         # Round-5 experiment (VERDICT #1): the full-table u32 gather
         # measures ~8.7 ns/idx while PER-LEVEL-operand gathers measured
@@ -322,7 +366,11 @@ def _lookup_fwd(
     table, flat_idx, corner_w, n_entries_per_level, pallas_scatter,
     packed_gather,
 ):
-    out = _lookup_fwd_impl(table, flat_idx, corner_w, packed_gather)
+    L = flat_idx.shape[1] // 8
+    n_features = table.shape[0] // (L * n_entries_per_level)
+    out = _lookup_fwd_impl(
+        table, flat_idx, corner_w, packed_gather, n_features
+    )
     return out, (flat_idx, corner_w, table.shape)
 
 
@@ -348,7 +396,8 @@ def _bwd_xla(flat_idx, corner_w, g, table_shape):
     """
     N, L8 = flat_idx.shape
     L = L8 // 8
-    LT = table_shape[0] // 2
+    F = g.shape[1] // L  # feature count (2 default; 4 = round-5 config)
+    LT = table_shape[0] // F
     T = LT // L
     St = _corner_sum_matrix(L).T  # (L, L*8)
     # same fusion firewall as the forward: a fused producer would get
@@ -358,24 +407,27 @@ def _bwd_xla(flat_idx, corner_w, g, table_shape):
             g[:, f * L:(f + 1) * L], St,
             preferred_element_type=jnp.float32,
         ))
-        for f in range(2)
+        for f in range(F)
     ]
-    idx, v0, v1 = jax.lax.optimization_barrier(
-        (flat_idx, vs[0], vs[1])
-    )
+    barrier = jax.lax.optimization_barrier((flat_idx, *vs))
+    idx, vs = barrier[0], barrier[1:]
     # (N, L*8) -> (L*8, N) -> (L, 8N): level l's corner stream is row l
     idx_l = idx.T.reshape(L, 8 * N)
-    v0_l = v0.T.reshape(L, 8 * N)
-    v1_l = v1.T.reshape(L, 8 * N)
+    v_l = [v.T.reshape(L, 8 * N) for v in vs]
     off = jnp.arange(L, dtype=jnp.int32)[:, None] * jnp.int32(T)
     idx_l = idx_l - off  # strip the level offset -> [0, T)
-    g0, g1 = [], []
+    # all F per-level scatters share one index set and are issued
+    # adjacently so XLA variadic-batches them into ONE sort per level
+    # (measured for F=2; the F=4 config halves sort volume per feature)
+    gs = [[] for _ in range(F)]
     for level in range(L):
-        g0.append(jnp.zeros((T,), jnp.float32).at[idx_l[level]].add(
-            v0_l[level]))
-        g1.append(jnp.zeros((T,), jnp.float32).at[idx_l[level]].add(
-            v1_l[level]))
-    return jnp.concatenate(g0 + g1)
+        for f in range(F):
+            gs[f].append(
+                jnp.zeros((T,), jnp.float32).at[idx_l[level]].add(
+                    v_l[f][level]
+                )
+            )
+    return jnp.concatenate([x for f in range(F) for x in gs[f]])
 
 
 def _bwd_pallas(flat_idx, corner_w, g, n_entries_per_level, table_shape):
