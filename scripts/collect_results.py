@@ -93,6 +93,16 @@ def main() -> int:
             for n, r in results.items()
             if r["status"] == "ok" and r["done"]
         }
+        # merge with an existing file: completed entries from earlier
+        # driver sessions survive a .bench_logs wipe (fresh checkout);
+        # freshly collected entries win on name collision
+        target = REPO / args.write
+        if target.exists():
+            try:
+                prior = json.loads(target.read_text())
+            except json.JSONDecodeError:
+                prior = {}
+            quality = {**prior, **quality}
         (REPO / args.write).write_text(
             json.dumps(quality, indent=1) + "\n"
         )
